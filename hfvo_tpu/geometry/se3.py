@@ -34,13 +34,26 @@ def vee(W: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([W[..., 2, 1], W[..., 0, 2], W[..., 1, 0]], axis=-1)
 
 
+def _sincos_coeffs(theta2: jnp.ndarray):
+    """(a, b, c) = (sin t/t, (1-cos t)/t^2, (t - sin t)/t^3) with NaN-safe
+    gradients at t=0 (the untaken `where` branch must not divide by zero)."""
+    big = theta2 > _EPS
+    t2_safe = jnp.where(big, theta2, 1.0)
+    t_safe = jnp.sqrt(t2_safe)
+    a = jnp.where(big, jnp.sin(t_safe) / t_safe, 1.0 - theta2 / 6.0)
+    b = jnp.where(big, (1.0 - jnp.cos(t_safe)) / t2_safe, 0.5 - theta2 / 24.0)
+    c = jnp.where(
+        big,
+        (t_safe - jnp.sin(t_safe)) / (t2_safe * t_safe),
+        1.0 / 6.0 - theta2 / 120.0,
+    )
+    return a, b, c
+
+
 def exp_so3(w: jnp.ndarray) -> jnp.ndarray:
     """Rodrigues: axis-angle (..., 3) -> rotation matrix (..., 3, 3)."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS)
-    # Safe small-angle series for sin(t)/t and (1-cos t)/t^2.
-    a = jnp.where(theta2 > _EPS, jnp.sin(theta) / theta, 1.0 - theta2 / 6.0)
-    b = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
+    a, b, _ = _sincos_coeffs(theta2)
     W = hat(w)
     WW = W @ W
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
@@ -66,9 +79,7 @@ def log_so3(R: jnp.ndarray) -> jnp.ndarray:
 def _so3_V(w: jnp.ndarray) -> jnp.ndarray:
     """Left Jacobian V of SO(3) such that exp_se3 translation = V @ rho."""
     theta2 = jnp.sum(w * w, axis=-1)
-    theta = jnp.sqrt(theta2 + _EPS)
-    b = jnp.where(theta2 > _EPS, (1.0 - jnp.cos(theta)) / theta2, 0.5 - theta2 / 24.0)
-    c = jnp.where(theta2 > _EPS, (theta - jnp.sin(theta)) / (theta2 * theta), 1.0 / 6.0 - theta2 / 120.0)
+    _, b, c = _sincos_coeffs(theta2)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
     return eye + b[..., None, None] * W + c[..., None, None] * (W @ W)

@@ -1,0 +1,155 @@
+"""Residuals + analytic Jacobians for the hybrid-feature edge taxonomy.
+
+The reference builds g2o graphs from many edge types (reference:
+src/Optimizer.cc, include/g2oMSC.h, include/EdgeLine.h, g2oAddition/).
+Here every edge type is a pure function producing batched residuals `r`,
+Jacobians `J` w.r.t. a *left-multiplied* se(3) twist on `T_cw`
+(`T <- exp([rho, w]) @ T`), and per-edge chi2 = r^T Omega r.
+
+Twist order is [rho (trans), w (rot)] matching geometry.se3.exp_se3.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import Intrinsics
+
+
+def transform_jacobian(X_c: jnp.ndarray) -> jnp.ndarray:
+    """d X_c / d twist for left-perturbation: (..., 3, 6) = [I | -hat(X_c)]."""
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=X_c.dtype), X_c.shape[:-1] + (3, 3))
+    return jnp.concatenate([eye, -se3.hat(X_c)], axis=-1)
+
+
+def proj_jacobian(intr: Intrinsics, X_c: jnp.ndarray) -> jnp.ndarray:
+    """d(u, v) / d X_c: (..., 2, 3)."""
+    x, y, z = X_c[..., 0], X_c[..., 1], X_c[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    iz2 = iz * iz
+    zero = jnp.zeros_like(x)
+    row_u = jnp.stack([intr.fx * iz, zero, -intr.fx * x * iz2], axis=-1)
+    row_v = jnp.stack([zero, intr.fy * iz, -intr.fy * y * iz2], axis=-1)
+    return jnp.stack([row_u, row_v], axis=-2)
+
+
+def point_stereo_residual(
+    T_cw: jnp.ndarray,
+    X_w: jnp.ndarray,
+    obs_uvr: jnp.ndarray,
+    intr: Intrinsics,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stereo (u, v, u_r) reprojection residual for N points under one pose.
+
+    Mirrors g2o's `EdgeStereoSE3ProjectXYZOnlyPose` used by the reference's
+    `PoseOptimization` (reference: src/Optimizer.cc:590-1478). Mono edges are
+    expressed by zeroing the third component's weight at the call site.
+
+    Returns (r (N, 3), J (N, 3, 6), z (N,) camera depth for validity gating).
+    """
+    X_c = se3.transform(T_cw, X_w)
+    x, y, z = X_c[..., 0], X_c[..., 1], X_c[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = intr.fx * x * iz + intr.cx
+    v = intr.fy * y * iz + intr.cy
+    ur = u - intr.bf * iz
+    r = jnp.stack([u, v, ur], axis=-1) - obs_uvr
+
+    Juv = proj_jacobian(intr, X_c)  # (N, 2, 3)
+    # d u_r / d X_c = d u / d X_c + bf/z^2 * d z / d X_c(=e_z)
+    iz2 = iz * iz
+    dur = Juv[..., 0, :] + jnp.stack(
+        [jnp.zeros_like(z), jnp.zeros_like(z), intr.bf * iz2], axis=-1
+    )
+    Jproj = jnp.concatenate([Juv, dur[..., None, :]], axis=-2)  # (N, 3, 3)
+    J = Jproj @ transform_jacobian(X_c)  # (N, 3, 6)
+    return r, J, z
+
+
+def line_endpoint_residual(
+    T_cw: jnp.ndarray,
+    X_w: jnp.ndarray,
+    line_2d: jnp.ndarray,
+    intr: Intrinsics,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Point-to-infinite-2D-line distance for projected 3D line endpoints.
+
+    The reference's line reprojection edges measure `l . proj(T X)` where
+    `l = (a, b, c)` is the normalized 2D observed line (reference:
+    include/EdgeLine.h:53 `EdgeLineProjectXYZ`, include/g2oMSC.h:561
+    `DistPt2Line2DMultiFrame`). `line_2d` rows are (a, b, c) with a^2+b^2=1.
+
+    Returns (r (N, 1), J (N, 1, 6), z (N,)).
+    """
+    X_c = se3.transform(T_cw, X_w)
+    z = X_c[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    u = intr.fx * X_c[..., 0] * iz + intr.cx
+    v = intr.fy * X_c[..., 1] * iz + intr.cy
+    a, b, c = line_2d[..., 0], line_2d[..., 1], line_2d[..., 2]
+    r = (a * u + b * v + c)[..., None]
+    Juv = proj_jacobian(intr, X_c)  # (N, 2, 3)
+    dl = a[..., None] * Juv[..., 0, :] + b[..., None] * Juv[..., 1, :]  # (N, 3)
+    J = (dl[..., None, :] @ transform_jacobian(X_c))  # (N, 1, 6)
+    return r, J, z
+
+
+def plane_residual(
+    T_cw: jnp.ndarray,
+    pi_w: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Observed-plane vs map-plane residual in the camera frame.
+
+    The reference parameterizes planes minimally as (azimuth, elevation,
+    distance) and measures `ominus(pi_obs, T^-T pi_w)` (reference:
+    g2oAddition/Plane3D.h:84-113, EdgePlane.h). Here the map plane
+    `pi_w = (n_w, d_w)` (unit normal) is transformed to camera frame as
+    `n_c = R n_w`, `d_c = d_w - n_c . ( -R^T t applied... )` — concretely
+    `pi_c = T_cw^{-T} pi_w`, and the residual is computed at the call site
+    against the observed plane in minimal coordinates. This helper returns
+    the transformed plane and its Jacobian wrt the twist.
+
+    Returns (pi_c (N, 4) with unit normal, J_pi (N, 4, 6)).
+    """
+    R = T_cw[..., :3, :3]
+    t = T_cw[..., :3, 3]
+    n_w = pi_w[..., :3]
+    d_w = pi_w[..., 3]
+    n_c = jnp.einsum("...ij,...nj->...ni", R, n_w)
+    # For pi = (n, d) with plane eq n.X + d = 0: pi_c = (R n_w, d_w - t . R n_w)
+    d_c = d_w - jnp.einsum("...i,...ni->...n", t, n_c)
+    pi_c = jnp.concatenate([n_c, d_c[..., None]], axis=-1)
+    # Left-perturbation derivative: n_c' = (I + hat(w)) n_c -> dn/dw = -hat(n_c)
+    # d_c' = d_c - rho . n_c  (translation perturbs t by rho)
+    N = n_c.shape[-2]
+    zeros33 = jnp.zeros(n_c.shape[:-1] + (3, 3), dtype=n_c.dtype)
+    dn = jnp.concatenate([zeros33, -se3.hat(n_c)], axis=-1)  # (N, 3, 6)
+    dd = jnp.concatenate(
+        [-n_c, jnp.zeros_like(n_c)], axis=-1
+    )[..., None, :]  # (N, 1, 6)
+    J = jnp.concatenate([dn, dd], axis=-2)  # (N, 4, 6)
+    return pi_c, J
+
+
+def plane_minimal_error(pi_obs: jnp.ndarray, pi_pred: jnp.ndarray) -> jnp.ndarray:
+    """3-DoF plane error (d_azimuth, d_elevation, d_distance).
+
+    Matches the reference's `Plane3D::ominus` structure
+    (g2oAddition/Plane3D.h:99-113) without the point-cloud distance term.
+    """
+    def azel(pi):
+        n = pi[..., :3]
+        return jnp.stack(
+            [jnp.arctan2(n[..., 1], n[..., 0]),
+             jnp.arctan2(n[..., 2], jnp.linalg.norm(n[..., :2], axis=-1))],
+            axis=-1,
+        )
+
+    dae = azel(pi_obs) - azel(pi_pred)
+    # wrap azimuth difference
+    dae = jnp.where(dae > jnp.pi, dae - 2 * jnp.pi, dae)
+    dae = jnp.where(dae < -jnp.pi, dae + 2 * jnp.pi, dae)
+    dd = (pi_obs[..., 3] - pi_pred[..., 3])[..., None]
+    return jnp.concatenate([dae, dd], axis=-1)

@@ -91,7 +91,7 @@ class TrackingConfig:
     depth_map_factor: float = 5000.0
     min_frames_between_kf: int = 0
     max_frames_between_kf: int = 30  # = fps
-    min_matches_track: int = 10
+    min_matches_track: int = 20
     min_matches_track_local: int = 30
     local_map_size_kf: int = 80
     # chi2 gates (reference: src/Optimizer.cc:1175-1179)

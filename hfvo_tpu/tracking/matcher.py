@@ -1,0 +1,113 @@
+"""Projection-window descriptor matching — the dense-array ORBmatcher.
+
+Replaces the reference's grid-bucketed candidate search + per-feature loops
+(reference: src/ORBmatcher.cc:45 `SearchByProjection` vs local map, :1353
+frame-to-frame variant) with one masked (L x N) Hamming matrix per search:
+window mask x octave-consistency mask x descriptor distance, argmin per
+landmark, then conflict resolution so each keypoint keeps only its best
+landmark. The (L, N) matrix rides the MXU via the bipolar matmul in
+ops/hamming.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera, se3
+from ..geometry.camera import Intrinsics
+from ..ops import hamming
+
+INF_KEY = jnp.int32(2**30)
+
+
+class ProjMatchResult(NamedTuple):
+    pt_id_per_kp: jnp.ndarray  # (N,) int32 landmark slot per keypoint (-1 none)
+    n_matches: jnp.ndarray  # scalar int32
+    visible: jnp.ndarray  # (L,) bool landmark projected into the image
+
+
+@partial(jax.jit, static_argnames=("radius", "max_hamming", "check_octave"))
+def search_by_projection(
+    map_X: jnp.ndarray,  # (L, 3) world points
+    map_desc: jnp.ndarray,  # (L, 8)
+    map_valid: jnp.ndarray,  # (L,)
+    map_ids: jnp.ndarray,  # (L,) global slot ids to report
+    map_octave: jnp.ndarray,  # (L,)
+    kp_uv: jnp.ndarray,  # (N, 2)
+    kp_desc: jnp.ndarray,  # (N, 8)
+    kp_octave: jnp.ndarray,  # (N,)
+    kp_valid: jnp.ndarray,  # (N,)
+    T_cw: jnp.ndarray,
+    intr: Intrinsics,
+    radius: float = 15.0,
+    max_hamming: int = 80,
+    check_octave: bool = True,
+) -> ProjMatchResult:
+    """Match projected landmarks to frame keypoints in a search window.
+
+    The window radius scales with the keypoint octave like the reference
+    (r * scaleFactor^octave, src/ORBmatcher.cc:87-94).
+    """
+    L = map_X.shape[0]
+    N = kp_uv.shape[0]
+    X_c = se3.transform(T_cw, map_X)
+    z = X_c[:, 2]
+    proj = camera.project(intr, X_c)
+    visible = (
+        map_valid
+        & (z > 0.1)
+        & camera.in_image(intr, proj, margin=1.0)
+    )
+
+    # Window + octave gating.
+    r_per_kp = radius * 1.2 ** kp_octave.astype(jnp.float32)  # (N,)
+    du = jnp.abs(proj[:, 0:1] - kp_uv[None, :, 0])  # (L, N)
+    dv = jnp.abs(proj[:, 1:2] - kp_uv[None, :, 1])
+    window = (du <= r_per_kp[None, :]) & (dv <= r_per_kp[None, :])
+    mask = visible[:, None] & kp_valid[None, :] & window
+    if check_octave:
+        d_oct = jnp.abs(map_octave[:, None] - kp_octave[None, :])
+        mask &= d_oct <= 1
+
+    dist = hamming.hamming_matrix(map_desc, kp_desc)  # (L, N)
+    best_kp, best_d, second_d = hamming.masked_best2(dist, mask)
+    matched = best_d <= max_hamming
+
+    # Conflict resolution: each keypoint keeps the landmark with smallest
+    # (distance, slot) key.
+    key = jnp.where(matched, best_d * L + jnp.arange(L), INF_KEY)
+    kp_min_key = jnp.full((N,), INF_KEY).at[best_kp].min(key)
+    keep = matched & (key == kp_min_key[best_kp])
+
+    pt_per_kp = jnp.full((N,), -1, jnp.int32)
+    pt_per_kp = pt_per_kp.at[jnp.where(keep, best_kp, N)].set(
+        jnp.where(keep, map_ids.astype(jnp.int32), -1), mode="drop"
+    )
+    n = jnp.sum((pt_per_kp >= 0).astype(jnp.int32))
+    return ProjMatchResult(pt_per_kp, n, visible)
+
+
+@partial(jax.jit, static_argnames=("max_hamming", "ratio"))
+def match_descriptors_mutual(
+    desc_a: jnp.ndarray,
+    valid_a: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    valid_b: jnp.ndarray,
+    max_hamming: int = 64,
+    ratio: float = 0.9,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Unconstrained mutual-best descriptor matching with Lowe ratio.
+
+    (reference: src/ORBmatcher.cc:412 `SearchForInitialization`-style.)
+    Returns (idx_b per a (Na,), ok (Na,)).
+    """
+    D = hamming.hamming_matrix(desc_a, desc_b)
+    mask = valid_a[:, None] & valid_b[None, :]
+    idx_b, best, second = hamming.masked_best2(D, mask)
+    ok = (best <= max_hamming) & (best.astype(jnp.float32) <= ratio * second.astype(jnp.float32))
+    best_a = jnp.argmin(jnp.where(mask, D, hamming.MAX_DIST + 1), axis=0)
+    ok &= best_a[idx_b] == jnp.arange(desc_a.shape[0])
+    return idx_b, ok

@@ -1,0 +1,226 @@
+"""Tracking state machine: the reference's front end, array-native.
+
+Mirrors `Tracking::Track` (reference: src/Tracking.cc:619): initialization
+from the first RGB-D frame (StereoInitialization, src/Tracking.cc:1350),
+motion-model prediction, projection matching against the local map, two pose
+optimizations, keyframe policy, and LOST handling. The map lives in flat
+tables (vomap.map); the hot work (extraction, matching, LM) is jitted.
+
+Round-1 scope: point features. Line/plane/Manhattan tracking layers on top
+(same structure, extra edge tables into the same pose LM).
+"""
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VOConfig
+from ..geometry import se3
+from ..solve.lm import PoseObs, pose_optimization
+from ..vomap.map import VOMap
+from . import matcher
+from .frontend import FrameFeatures, extract_frame_jit
+
+
+class TrackState(enum.Enum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+@dataclass
+class TrackResult:
+    state: TrackState
+    T_cw: np.ndarray
+    n_matches: int
+    is_keyframe: bool
+
+
+@dataclass
+class Tracker:
+    cfg: VOConfig
+    vomap: VOMap = field(init=False)
+    state: TrackState = TrackState.NOT_INITIALIZED
+    T_cw: np.ndarray = field(init=False)
+    velocity: np.ndarray = field(init=False)  # T_cw_cur @ inv(T_cw_last)
+    frame_id: int = -1
+    last_kf_frame: int = -1
+    n_matches_ref_kf: int = 0
+
+    def __post_init__(self):
+        self.vomap = VOMap(self.cfg)
+        self.T_cw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+
+    # ------------------------------------------------------------------
+
+    def track_rgbd(
+        self, gray: np.ndarray, depth: np.ndarray, T_cw_init: Optional[np.ndarray] = None
+    ) -> TrackResult:
+        """Process one RGB-D frame (reference: System::TrackRGBD ->
+        Tracking::GrabImageRGBD_wh, src/Tracking.cc:236)."""
+        self.frame_id += 1
+        feats = extract_frame_jit(jnp.asarray(gray), jnp.asarray(depth), self.cfg)
+
+        if self.state is TrackState.NOT_INITIALIZED:
+            self._initialize(feats, T_cw_init)
+            return TrackResult(self.state, self.T_cw.copy(), 0, True)
+
+        T_pred = self.velocity @ self.T_cw
+        ok, T_new, pt_per_kp, n_matches = self._track_local_map(feats, T_pred)
+        if not ok:
+            # Wide-window recovery from the last pose (round-1 stand-in for
+            # BoW relocalization, reference: src/Tracking.cc:3760).
+            ok, T_new, pt_per_kp, n_matches = self._track_local_map(
+                feats, self.T_cw, radius=50.0, check_octave=False
+            )
+
+        is_kf = False
+        if ok:
+            vel = T_new @ np.linalg.inv(self.T_cw)
+            self.velocity = vel.astype(np.float32)
+            self.T_cw = T_new.astype(np.float32)
+            self.state = TrackState.OK
+            if self._need_new_keyframe(n_matches):
+                self._create_keyframe(feats, pt_per_kp)
+                is_kf = True
+        else:
+            self.state = TrackState.LOST
+        return TrackResult(self.state, self.T_cw.copy(), n_matches, is_kf)
+
+    # ------------------------------------------------------------------
+
+    def _initialize(self, feats: FrameFeatures, T_cw_init: Optional[np.ndarray]):
+        """Create the first keyframe + map points from depth (reference:
+        StereoInitialization, src/Tracking.cc:1350)."""
+        if T_cw_init is not None:
+            self.T_cw = T_cw_init.astype(np.float32)
+        pt_per_kp = np.full((self.cfg.cap.keypoints,), -1, np.int32)
+        valid = np.asarray(feats.valid) & (np.asarray(feats.depth) > 1e-3)
+        if valid.sum() < 50:
+            return  # not enough depth to initialize
+        self._create_keyframe(feats, pt_per_kp)
+        self.state = TrackState.OK
+        self.last_kf_frame = self.frame_id
+
+    def _local_map_snapshot(self):
+        cap = self.cfg.cap.local_points
+        ids = self.vomap.local_point_ids(self.cfg.tracking.local_map_size_kf, cap)
+        pad = np.full((cap,), -1, np.int64)
+        pad[: len(ids)] = ids
+        safe = np.maximum(pad, 0)
+        p = self.vomap.points
+        return (
+            jnp.asarray(p.X_w[safe]),
+            jnp.asarray(p.desc[safe]),
+            jnp.asarray((pad >= 0) & p.valid[safe]),
+            jnp.asarray(pad.astype(np.int32)),
+            jnp.asarray(p.octave[safe]),
+            pad,
+        )
+
+    def _track_local_map(
+        self,
+        feats: FrameFeatures,
+        T_pred: np.ndarray,
+        radius: float = 15.0,
+        check_octave: bool = True,
+    ):
+        """Project local map into the predicted view, match, optimize pose
+        (reference: TrackWithMotionModel + TrackLocalMapWithLines,
+        src/Tracking.cc:2251, :2816)."""
+        mX, mdesc, mvalid, mids, moct, pad = self._local_map_snapshot()
+        res = matcher.search_by_projection(
+            mX, mdesc, mvalid, mids, moct,
+            feats.uv, feats.desc, feats.octave, feats.valid,
+            jnp.asarray(T_pred), self.cfg.camera,
+            radius=radius, check_octave=check_octave,
+        )
+        pt_per_kp = np.asarray(res.pt_id_per_kp)
+        n0 = int(res.n_matches)
+        if n0 < self.cfg.tracking.min_matches_track:
+            return False, T_pred, pt_per_kp, n0
+
+        matched = pt_per_kp >= 0
+        safe_ids = np.maximum(pt_per_kp, 0)
+        X_w = self.vomap.points.X_w[safe_ids]
+        depth_np = np.asarray(feats.depth)
+        pts = PoseObs(
+            X_w=jnp.asarray(X_w),
+            obs=feats.obs,
+            is_stereo=jnp.asarray(depth_np > 1e-3),
+            inv_sigma2=feats.inv_sigma2,
+            valid=jnp.asarray(matched) & feats.valid,
+        )
+        opt = pose_optimization(
+            jnp.asarray(T_pred), pts, self.cfg.camera,
+            chi2_mono=self.cfg.tracking.chi2_mono,
+            chi2_stereo=self.cfg.tracking.chi2_stereo,
+        )
+        inlier = np.asarray(opt.inlier)
+        n_in = int(opt.n_inliers)
+        T_new = np.asarray(opt.T_cw)
+        # Tracking bookkeeping (reference: MapPoint::IncreaseVisible/Found).
+        vis_ids = pad[np.asarray(res.visible) & (pad >= 0)]
+        self.vomap.points.n_visible[vis_ids] += 1
+        found_ids = pt_per_kp[matched & inlier]
+        self.vomap.points.n_found[found_ids] += 1
+        self.vomap.points.last_seen_frame[found_ids] = self.frame_id
+        pt_per_kp = np.where(matched & inlier, pt_per_kp, -1)
+        ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
+        return ok, T_new, pt_per_kp, n_in
+
+    def _need_new_keyframe(self, n_matches: int) -> bool:
+        """(reference: Tracking::NeedNewKeyFrame, src/Tracking.cc:2923 —
+        frame-gap rule + tracked-ratio rule vs the reference keyframe)."""
+        since = self.frame_id - self.last_kf_frame
+        if since < max(self.cfg.tracking.min_frames_between_kf, 1):
+            return False
+        if since >= self.cfg.tracking.max_frames_between_kf:
+            return True
+        ratio_low = n_matches < 0.75 * max(self.n_matches_ref_kf, 1)
+        return ratio_low and n_matches > 15
+
+    def _create_keyframe(self, feats: FrameFeatures, pt_per_kp: np.ndarray):
+        """Insert a keyframe; unmatched keypoints with depth become new map
+        points (reference: Tracking::CreateNewKeyFrame, src/Tracking.cc:3032)."""
+        uv = np.asarray(feats.uv)
+        depth = np.asarray(feats.depth)
+        desc = np.asarray(feats.desc)
+        octave = np.asarray(feats.octave)
+        valid = np.asarray(feats.valid)
+        obs = np.asarray(feats.obs)
+
+        new_mask = valid & (depth > 1e-3) & (pt_per_kp < 0)
+        idx = np.nonzero(new_mask)[0]
+        if len(idx):
+            from ..geometry.camera import unproject
+
+            X_c = np.asarray(
+                unproject(self.cfg.camera, jnp.asarray(uv[idx]), jnp.asarray(depth[idx]))
+            )
+            T_wc = np.linalg.inv(self.T_cw)
+            X_w = (T_wc[:3, :3] @ X_c.T).T + T_wc[:3, 3]
+            cam_center = T_wc[:3, 3]
+            normal = X_w - cam_center
+            normal /= np.linalg.norm(normal, axis=1, keepdims=True) + 1e-9
+            ids = self.vomap.add_points(
+                X_w.astype(np.float32), desc[idx], normal.astype(np.float32),
+                octave[idx], self.frame_id,
+            )
+            pt_per_kp = pt_per_kp.copy()
+            created = ids >= 0
+            pt_per_kp[idx[created]] = ids[created]
+
+        obs_valid = valid & (pt_per_kp >= 0)
+        self.vomap.add_keyframe(
+            self.T_cw, self.frame_id, pt_per_kp.astype(np.int32),
+            obs, octave, desc, obs_valid,
+        )
+        self.last_kf_frame = self.frame_id
+        self.n_matches_ref_kf = int(obs_valid.sum())
+        self.vomap.cull_points(self.frame_id)

@@ -1,0 +1,189 @@
+"""Struct-of-arrays map: fixed-capacity landmark + keyframe tables.
+
+Replaces the reference's pointer-graph map (`Map` of `std::set<KeyFrame*>`,
+`MapPoint*` observation hashmaps guarded by mutexes — reference: src/Map.cc,
+src/MapPoint.cc, src/KeyFrame.cc) with flat numpy tables on the host and
+device snapshots for the jitted kernels. All bookkeeping (creation, culling,
+observation counting) is vectorized numpy between frames; the hot per-frame
+compute reads a read-only device snapshot (SURVEY.md §7 design stance).
+
+Conventions: slot-indexed tables with `valid` masks; ids are slot indices.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import VOConfig
+
+
+@dataclass
+class PointTable:
+    """Map points (reference: src/MapPoint.cc)."""
+
+    X_w: np.ndarray  # (N, 3) float32
+    desc: np.ndarray  # (N, 8) uint32 distinctive descriptor
+    normal: np.ndarray  # (N, 3) mean viewing direction
+    octave: np.ndarray  # (N,) int32 reference octave
+    valid: np.ndarray  # (N,) bool
+    n_obs: np.ndarray  # (N,) int32 keyframe observations
+    n_visible: np.ndarray  # (N,) int32 times predicted visible in tracking
+    n_found: np.ndarray  # (N,) int32 times actually matched in tracking
+    first_kf: np.ndarray  # (N,) int32
+    last_seen_frame: np.ndarray  # (N,) int32
+
+    @staticmethod
+    def empty(n: int) -> "PointTable":
+        return PointTable(
+            X_w=np.zeros((n, 3), np.float32),
+            desc=np.zeros((n, 8), np.uint32),
+            normal=np.zeros((n, 3), np.float32),
+            octave=np.zeros((n,), np.int32),
+            valid=np.zeros((n,), bool),
+            n_obs=np.zeros((n,), np.int32),
+            n_visible=np.zeros((n,), np.int32),
+            n_found=np.zeros((n,), np.int32),
+            first_kf=np.full((n,), -1, np.int32),
+            last_seen_frame=np.full((n,), -1, np.int32),
+        )
+
+
+@dataclass
+class KeyFrameTable:
+    """Keyframes with their full observation snapshot (reference:
+    src/KeyFrame.cc keeps keypoints, descriptors, and landmark pointers).
+
+    `point_id[k, i]` is the map-point slot observed by keypoint i of KF k
+    (-1 = none). `obs[k, i]` is the (u, v, u_r) measurement; `octave` scales
+    the information matrix in BA.
+    """
+
+    T_cw: np.ndarray  # (K, 4, 4)
+    valid: np.ndarray  # (K,) bool
+    frame_id: np.ndarray  # (K,) int32 source frame
+    point_id: np.ndarray  # (K, C) int32
+    obs: np.ndarray  # (K, C, 3) float32
+    octave: np.ndarray  # (K, C) int32
+    desc: np.ndarray  # (K, C, 8) uint32
+    obs_valid: np.ndarray  # (K, C) bool
+
+    @staticmethod
+    def empty(k: int, c: int) -> "KeyFrameTable":
+        return KeyFrameTable(
+            T_cw=np.tile(np.eye(4, dtype=np.float32), (k, 1, 1)),
+            valid=np.zeros((k,), bool),
+            frame_id=np.full((k,), -1, np.int32),
+            point_id=np.full((k, c), -1, np.int32),
+            obs=np.zeros((k, c, 3), np.float32),
+            octave=np.zeros((k, c), np.int32),
+            desc=np.zeros((k, c, 8), np.uint32),
+            obs_valid=np.zeros((k, c), bool),
+        )
+
+
+@dataclass
+class VOMap:
+    """Host-side map orchestrator."""
+
+    cfg: VOConfig
+    points: PointTable = field(init=False)
+    keyframes: KeyFrameTable = field(init=False)
+    next_point_slot: int = 0
+    next_kf_slot: int = 0
+
+    def __post_init__(self):
+        cap = self.cfg.cap
+        self.points = PointTable.empty(cap.map_points)
+        self.keyframes = KeyFrameTable.empty(cap.keyframes, cap.keypoints)
+
+    # ---- keyframes -------------------------------------------------------
+
+    def add_keyframe(
+        self,
+        T_cw: np.ndarray,
+        frame_id: int,
+        point_id: np.ndarray,
+        obs: np.ndarray,
+        octave: np.ndarray,
+        desc: np.ndarray,
+        obs_valid: np.ndarray,
+    ) -> int:
+        k = self.next_kf_slot
+        if k >= self.keyframes.T_cw.shape[0]:
+            raise RuntimeError("keyframe capacity exhausted")
+        kf = self.keyframes
+        kf.T_cw[k] = T_cw
+        kf.valid[k] = True
+        kf.frame_id[k] = frame_id
+        kf.point_id[k] = point_id
+        kf.obs[k] = obs
+        kf.octave[k] = octave
+        kf.desc[k] = desc
+        kf.obs_valid[k] = obs_valid
+        self.next_kf_slot += 1
+        # Update observation counts.
+        pids = point_id[obs_valid & (point_id >= 0)]
+        np.add.at(self.points.n_obs, pids, 1)
+        first = self.points.first_kf[pids] < 0
+        self.points.first_kf[pids[first]] = k
+        return k
+
+    def n_keyframes(self) -> int:
+        return int(self.keyframes.valid.sum())
+
+    # ---- points ----------------------------------------------------------
+
+    def add_points(
+        self,
+        X_w: np.ndarray,
+        desc: np.ndarray,
+        normal: np.ndarray,
+        octave: np.ndarray,
+        frame_id: int,
+    ) -> np.ndarray:
+        """Append new map points; returns their slot ids (-1 where dropped)."""
+        n = len(X_w)
+        free = np.nonzero(~self.points.valid[self.next_point_slot :])[0]
+        ids = np.full((n,), -1, np.int64)
+        take = min(n, len(free))
+        slots = self.next_point_slot + free[:take]
+        ids[:take] = slots
+        p = self.points
+        p.X_w[slots] = X_w[:take]
+        p.desc[slots] = desc[:take]
+        p.normal[slots] = normal[:take]
+        p.octave[slots] = octave[:take]
+        p.valid[slots] = True
+        p.n_obs[slots] = 0
+        p.n_visible[slots] = 1
+        p.n_found[slots] = 1
+        p.first_kf[slots] = -1
+        p.last_seen_frame[slots] = frame_id
+        if take:
+            self.next_point_slot = int(slots[-1]) + 1
+        return ids
+
+    def cull_points(self, current_frame: int) -> int:
+        """Drop low-quality points (reference: LocalMapping::MapPointCulling,
+        src/LocalMapping.cc:260 — found/visible ratio < 0.25, or not observed
+        by enough KFs shortly after creation)."""
+        p = self.points
+        ratio = p.n_found / np.maximum(p.n_visible, 1)
+        stale = (p.last_seen_frame < current_frame - 60) & (p.n_obs < 2)
+        bad = p.valid & ((ratio < 0.25) | stale)
+        p.valid[bad] = False
+        return int(bad.sum())
+
+    def local_point_ids(self, n_recent_kfs: int, cap: int) -> np.ndarray:
+        """Point slots observed by the most recent keyframes (the reference's
+        covisibility-driven local map, src/Tracking.cc:3394 UpdateLocalMap,
+        approximated by KF recency in round 1)."""
+        kf = self.keyframes
+        ks = np.nonzero(kf.valid)[0][-n_recent_kfs:]
+        pid = kf.point_id[ks]
+        ok = kf.obs_valid[ks] & (pid >= 0)
+        ids = np.unique(pid[ok])
+        ids = ids[self.points.valid[ids]]
+        return ids[-cap:]

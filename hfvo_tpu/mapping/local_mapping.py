@@ -1,0 +1,152 @@
+"""Local mapping: builds + runs local BA over the keyframe window.
+
+The reference runs this on a background thread per inserted keyframe
+(reference: src/LocalMapping.cc:53-155): process KF, cull landmarks, create
+new ones, then `LocalMapOptimization` when the map has >3 KFs. Here the
+builder assembles a fixed-capacity `BAProblem` from the flat map tables, the
+jitted Schur LM solves it, and write-back updates poses/points and erases
+outlier observations (reference: src/Optimizer.cc:3902-3941).
+
+Static shapes: the problem is always (K_CAP keyframes, P cap points, E cap
+edges) so the BA kernel compiles once.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VOConfig
+from ..solve.ba import BAProblem, local_bundle_adjustment
+from ..vomap.map import VOMap
+
+
+@dataclass
+class LocalMapper:
+    cfg: VOConfig
+    vomap: VOMap
+    n_ba_runs: int = 0
+    # Number of oldest window keyframes held fixed as the gauge. RGB-D has
+    # metric scale, so one fixed pose fully pins the gauge; fixing more
+    # over-constrains the window when the frontier poses carry drift.
+    n_fixed: int = 1
+
+    def run_local_ba(self) -> bool:
+        """Optimize the recent keyframe window; returns True if BA ran.
+
+        Gate mirrors the reference (`KeyFramesInMap() > 3`,
+        src/LocalMapping.cc:116)."""
+        vm = self.vomap
+        kf_ids = np.nonzero(vm.keyframes.valid)[0]
+        if len(kf_ids) <= 3:
+            return False
+        cap = self.cfg.cap
+        K = cap.local_kfs
+        window = kf_ids[-K:]
+        # Oldest n_fixed in the window are the fixed frontier (gauge); the
+        # reference fixes all covisible-but-not-local KFs instead.
+        n_fixed = min(self.n_fixed, max(len(window) - 1, 1))
+
+        kf = vm.keyframes
+        # Gather edges from the window's observation snapshots.
+        pid = kf.point_id[window]  # (k, C)
+        ov = kf.obs_valid[window] & (pid >= 0) & vm.points.valid[np.maximum(pid, 0)]
+        k_idx, c_idx = np.nonzero(ov)
+        e_pt_global = pid[k_idx, c_idx]
+        e_obs = kf.obs[window][k_idx, c_idx]
+        e_oct = kf.octave[window][k_idx, c_idx]
+        e_stereo = e_obs[:, 2] > 0
+
+        # Compact point ids.
+        upts, e_pt_local = np.unique(e_pt_global, return_inverse=True)
+        P = cap.local_points
+        E = cap.ba_edges
+        if len(upts) > P:
+            # Keep the most-observed points (capacity guard; log-free clamp).
+            counts = np.bincount(e_pt_local, minlength=len(upts))
+            keep = np.argsort(-counts)[:P]
+            keep_mask = np.isin(e_pt_local, keep)
+            remap = np.full(len(upts), -1, np.int64)
+            remap[keep] = np.arange(len(keep))
+            k_idx, c_idx = k_idx[keep_mask], c_idx[keep_mask]
+            e_pt_local = remap[e_pt_local[keep_mask]]
+            e_obs, e_oct, e_stereo = e_obs[keep_mask], e_oct[keep_mask], e_stereo[keep_mask]
+            upts = upts[keep]
+        if len(k_idx) > E:
+            sel = np.random.RandomState(0).choice(len(k_idx), E, replace=False)
+            k_idx, c_idx = k_idx[sel], c_idx[sel]
+            e_pt_local, e_obs, e_oct, e_stereo = (
+                e_pt_local[sel], e_obs[sel], e_oct[sel], e_stereo[sel]
+            )
+
+        ne = len(k_idx)
+        npt = len(upts)
+
+        def pad(a, n, fill=0):
+            out = np.full((n,) + a.shape[1:], fill, a.dtype)
+            out[: len(a)] = a
+            return out
+
+        T_full = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        T_full[: len(window)] = kf.T_cw[window]
+        free = np.zeros((K,), bool)
+        free[n_fixed : len(window)] = True
+
+        prob = BAProblem(
+            kf_T_cw=jnp.asarray(T_full),
+            kf_free=jnp.asarray(free),
+            pt_X=jnp.asarray(pad(vm.points.X_w[upts].astype(np.float32), P)),
+            pt_valid=jnp.asarray(pad(np.ones(npt, bool), P)),
+            e_kf=jnp.asarray(pad(k_idx.astype(np.int32), E)),
+            e_pt=jnp.asarray(pad(e_pt_local.astype(np.int32), E)),
+            e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E)),
+            e_stereo=jnp.asarray(pad(e_stereo, E)),
+            e_inv_sigma2=jnp.asarray(
+                pad((1.0 / 1.2 ** (2.0 * e_oct)).astype(np.float32), E)
+            ),
+            e_valid=jnp.asarray(pad(np.ones(ne, bool), E)),
+        )
+        res = local_bundle_adjustment(prob, self.cfg.camera)
+
+        # Write back poses + points.
+        T_new = np.asarray(res.kf_T_cw)[: len(window)]
+        kf.T_cw[window] = T_new
+        vm.points.X_w[upts] = np.asarray(res.pt_X)[:npt]
+        # Erase outlier observations (reference: Optimizer.cc:3907-3929).
+        inlier = np.asarray(res.e_inlier)[:ne]
+        bad = ~inlier
+        if bad.any():
+            bk, bc = k_idx[bad], c_idx[bad]
+            kf.obs_valid[window[bk], bc] = False
+            pts_bad = kf.point_id[window[bk], bc]
+            np.add.at(vm.points.n_obs, pts_bad, -1)
+            kf.point_id[window[bk], bc] = -1
+        self.n_ba_runs += 1
+        return True
+
+    def cull_keyframes(self) -> int:
+        """Drop keyframes whose points are >=90% observed by >=3 other KFs
+        (reference: LocalMapping::KeyFrameCulling, src/LocalMapping.cc:1875).
+        Round-1 approximation: redundancy by map-point observation counts."""
+        vm = self.vomap
+        kf_ids = np.nonzero(vm.keyframes.valid)[0]
+        if len(kf_ids) <= 5:
+            return 0
+        culled = 0
+        kf = vm.keyframes
+        for k in kf_ids[2:-2]:  # never cull frontier or newest
+            pid = kf.point_id[k]
+            ov = kf.obs_valid[k] & (pid >= 0)
+            if ov.sum() == 0:
+                kf.valid[k] = False
+                culled += 1
+                continue
+            redundant = vm.points.n_obs[pid[ov]] >= 4
+            if redundant.mean() > 0.9:
+                np.add.at(vm.points.n_obs, pid[ov], -1)
+                kf.obs_valid[k] = False
+                kf.point_id[k] = -1
+                kf.valid[k] = False
+                culled += 1
+        return culled

@@ -138,8 +138,16 @@ def extract_orb(img: jnp.ndarray, cfg: OrbConfig, capacity: int) -> OrbFeatures:
         ang = ic_angles(img_l, yx)
         blur = gaussian_blur(img_l, 2.0, 3)
         desc = brief_descriptors(blur, yx, ang)
-        scale_l = cfg.scale_factor**l
-        uv = jnp.stack([yx[:, 1].astype(jnp.float32), yx[:, 0].astype(jnp.float32)], axis=1) * scale_l
+        # Map level-l pixel centers to level-0 coordinates with the *actual*
+        # per-level scale and the half-pixel offset of bilinear resize
+        # (out pixel i samples input at (i+0.5)*scale-0.5); using a bare
+        # scale_factor**l would bias high-octave keypoints by >1 px.
+        h_l, w_l = img_l.shape
+        sx = img.shape[1] / w_l
+        sy = img.shape[0] / h_l
+        u = (yx[:, 1].astype(jnp.float32) + 0.5) * sx - 0.5
+        v = (yx[:, 0].astype(jnp.float32) + 0.5) * sy - 0.5
+        uv = jnp.stack([u, v], axis=1)
         uvs.append(uv)
         resps.append(resp)
         angs.append(ang)

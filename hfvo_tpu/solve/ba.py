@@ -1,0 +1,199 @@
+"""Local bundle adjustment: batched Schur-complement Levenberg-Marquardt.
+
+TPU-native replacement for the reference's g2o local BA
+(`Optimizer::LocalMapOptimization`, reference: src/Optimizer.cc:3014-3941):
+local keyframes free, frontier keyframes fixed, point landmarks marginalized
+via the Schur complement, two-stage schedule (5 robust iters, outlier
+demotion, 10 plain iters) with chi2 gates 5.991/7.815 and write-back.
+
+Everything is fixed-capacity and batched:
+- edges live in a flat table (kf_idx, pt_idx, obs, weight, valid);
+- per-block Hessians come from segment-sums over the edge table;
+- the reduced camera system S = Hpp - U A U^T is assembled densely
+  ((6K, 6K), K <= ~16) — tiny, so the solve is a single dense Cholesky-ish
+  `jnp.linalg.solve` while the heavy work (residuals/Jacobians/contractions)
+  is MXU-friendly batched einsum over up to tens of thousands of edges.
+
+The distributed variant shards the edge table and psum-reduces the
+accumulated blocks (parallel/dist_lm.py pattern; SURVEY.md §5.8).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import Intrinsics
+from . import residuals
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity local BA problem."""
+
+    kf_T_cw: jnp.ndarray  # (K, 4, 4)
+    kf_free: jnp.ndarray  # (K,) bool — False: fixed frontier / invalid
+    pt_X: jnp.ndarray  # (P, 3)
+    pt_valid: jnp.ndarray  # (P,) bool
+    e_kf: jnp.ndarray  # (E,) int32
+    e_pt: jnp.ndarray  # (E,) int32
+    e_obs: jnp.ndarray  # (E, 3) (u, v, u_r)
+    e_stereo: jnp.ndarray  # (E,) bool
+    e_inv_sigma2: jnp.ndarray  # (E,)
+    e_valid: jnp.ndarray  # (E,) bool
+
+
+class BAResult(NamedTuple):
+    kf_T_cw: jnp.ndarray
+    pt_X: jnp.ndarray
+    e_inlier: jnp.ndarray  # (E,) bool post-gating
+    chi2: jnp.ndarray  # final total inlier chi2
+
+
+def _edge_terms(prob: BAProblem, kf_T, pt_X, intr):
+    """Residuals r (E,3), pose Jacobian Jp (E,3,6), point Jacobian Jx (E,3,3),
+    per-edge chi2, and depth validity."""
+    T_e = kf_T[prob.e_kf]  # (E, 4, 4)
+    X_e = pt_X[prob.e_pt]  # (E, 3)
+    r, Jp, z = residuals.point_stereo_residual(T_e, X_e, prob.e_obs, intr)
+    comp = jnp.stack(
+        [
+            jnp.ones_like(prob.e_inv_sigma2),
+            jnp.ones_like(prob.e_inv_sigma2),
+            prob.e_stereo.astype(r.dtype),
+        ],
+        axis=-1,
+    )
+    # d X_c / d X_w = R of the edge's keyframe.
+    R_e = T_e[:, :3, :3]
+    # Jp = Jproj @ [I | -hat(X_c)]; the point Jacobian is Jproj @ R.
+    # Recover Jproj from Jp's translation block (first 3 columns = Jproj).
+    Jproj = Jp[:, :, :3]
+    Jx = Jproj @ R_e
+    chi2 = jnp.sum(r * r * comp, axis=-1) * prob.e_inv_sigma2
+    okd = z > 1e-3
+    return r, Jp, Jx, comp, chi2, okd
+
+
+def _build_blocks(prob: BAProblem, kf_T, pt_X, intr, e_active, robust, delta_e):
+    """Accumulate Hpp (K,6,6), U (P,K,6,3), Hll (P,3,3), b_p (K,6), b_l (P,3)."""
+    r, Jp, Jx, comp, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
+    w = jnp.where(e_active & okd, prob.e_inv_sigma2, 0.0)
+    if robust:
+        w = w * jnp.minimum(1.0, delta_e / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
+    Wc = w[:, None] * comp  # (E, 3)
+
+    K = prob.kf_T_cw.shape[0]
+    P = prob.pt_X.shape[0]
+    Hpp_e = jnp.einsum("eki,ek,ekj->eij", Jp, Wc, Jp)  # (E, 6, 6)
+    Hll_e = jnp.einsum("eki,ek,ekj->eij", Jx, Wc, Jx)  # (E, 3, 3)
+    U_e = jnp.einsum("eki,ek,ekj->eij", Jp, Wc, Jx)  # (E, 6, 3)
+    bp_e = jnp.einsum("eki,ek->ei", Jp, Wc * r)  # (E, 6)
+    bl_e = jnp.einsum("eki,ek->ei", Jx, Wc * r)  # (E, 3)
+
+    Hpp = jnp.zeros((K, 6, 6)).at[prob.e_kf].add(Hpp_e)
+    Hll = jnp.zeros((P, 3, 3)).at[prob.e_pt].add(Hll_e)
+    U = jnp.zeros((P, K, 6, 3)).at[prob.e_pt, prob.e_kf].add(U_e)
+    bp = jnp.zeros((K, 6)).at[prob.e_kf].add(bp_e)
+    bl = jnp.zeros((P, 3)).at[prob.e_pt].add(bl_e)
+    total_chi2 = jnp.sum(jnp.where(e_active & okd, chi2, 0.0))
+    return Hpp, Hll, U, bp, bl, total_chi2
+
+
+def _chi2_total(prob: BAProblem, kf_T, pt_X, intr, e_active):
+    *_, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
+    return jnp.sum(jnp.where(e_active & okd, chi2, 0.0))
+
+
+def _schur_solve(prob, Hpp, Hll, U, bp, bl, lam):
+    """Solve the damped system via Schur complement; returns (dpose (K,6),
+    dpt (P,3))."""
+    K = Hpp.shape[0]
+    eye3 = jnp.eye(3)
+    Hll_d = Hll + lam * eye3 * jnp.maximum(
+        jnp.diagonal(Hll, axis1=1, axis2=2), 1e-6
+    )[:, :, None] * eye3  # damp diagonal
+    # Guard unobserved points: make their block identity (their rhs is 0).
+    observed = jnp.abs(Hll).sum(axis=(1, 2)) > 1e-9
+    Hll_d = jnp.where(observed[:, None, None], Hll_d, jnp.eye(3))
+    A = jnp.linalg.inv(Hll_d)  # (P, 3, 3)
+
+    T1 = jnp.einsum("pkab,pbc->pkac", U, A)  # (P, K, 6, 3)
+    S = -jnp.einsum("pkac,pmdc->kmad", T1, U)  # (K, K, 6, 6)
+    # Add Hpp on the diagonal + damping.
+    diag = Hpp + lam * jnp.eye(6) * jnp.maximum(
+        jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6
+    )[:, :, None] * jnp.eye(6)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(diag)
+    b_red = bp - jnp.einsum("pkac,pc->ka", T1, bl)  # (K, 6)
+
+    # Gauge handling: fixed keyframes get identity rows/cols, zero rhs.
+    free = prob.kf_free
+    fmask = free[:, None] & free[None, :]
+    S = jnp.where(fmask[:, :, None, None], S, 0.0)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.where(free, 0.0, 1.0)[:, None, None] * jnp.eye(6)
+    )
+    b_red = jnp.where(free[:, None], b_red, 0.0)
+
+    S_dense = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+    S_dense = S_dense + 1e-8 * jnp.eye(6 * K)
+    dpose = -jnp.linalg.solve(S_dense, b_red.reshape(-1)).reshape(K, 6)
+    dpose = jnp.where(free[:, None], dpose, 0.0)
+
+    # Back-substitute landmarks: dl = -A (bl + U^T dpose summed over kfs).
+    rhs = bl + jnp.einsum("pkab,ka->pb", U, dpose)
+    dpt = -jnp.einsum("pab,pb->pa", A, rhs)
+    dpt = jnp.where(observed[:, None], dpt, 0.0)
+    return dpose, dpt
+
+
+@partial(jax.jit, static_argnames=("n_iters1", "n_iters2", "chi2_mono", "chi2_stereo"))
+def local_bundle_adjustment(
+    prob: BAProblem,
+    intr: Intrinsics,
+    n_iters1: int = 5,
+    n_iters2: int = 10,
+    chi2_mono: float = 5.991,
+    chi2_stereo: float = 7.815,
+) -> BAResult:
+    """Two-stage local BA with outlier demotion between stages
+    (reference: src/Optimizer.cc:3818-3899 optimize(5) -> gate -> optimize(10))."""
+    th_e = jnp.where(prob.e_stereo, chi2_stereo, chi2_mono)
+    delta_e = jnp.sqrt(th_e)
+
+    def lm_stage(kf_T, pt_X, e_active, n_iters, robust):
+        def body(_, carry):
+            kf_T, pt_X, lam = carry
+            Hpp, Hll, U, bp, bl, chi2_cur = _build_blocks(
+                prob, kf_T, pt_X, intr, e_active, robust, delta_e
+            )
+            dpose, dpt = _schur_solve(prob, Hpp, Hll, U, bp, bl, lam)
+            kf_T_new = se3.exp_se3(dpose) @ kf_T
+            pt_X_new = pt_X + dpt
+            chi2_new = _chi2_total(prob, kf_T_new, pt_X_new, intr, e_active)
+            finite = jnp.all(jnp.isfinite(kf_T_new)) & jnp.all(jnp.isfinite(pt_X_new))
+            accept = (chi2_new < chi2_cur) & finite
+            kf_T = jnp.where(accept, kf_T_new, kf_T)
+            pt_X = jnp.where(accept, pt_X_new, pt_X)
+            lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 5.0, 1e5))
+            return kf_T, pt_X, lam
+
+        kf_T, pt_X, _ = jax.lax.fori_loop(
+            0, n_iters, body, (kf_T, pt_X, jnp.asarray(1e-4))
+        )
+        return kf_T, pt_X
+
+    e_active = prob.e_valid & prob.pt_valid[prob.e_pt]
+    kf_T, pt_X = lm_stage(prob.kf_T_cw, prob.pt_X, e_active, n_iters1, True)
+    # Outlier demotion between stages.
+    *_, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
+    e_active = e_active & (chi2 <= th_e) & okd
+    kf_T, pt_X = lm_stage(kf_T, pt_X, e_active, n_iters2, False)
+    # Final gate for write-back (reference erases these observations).
+    *_, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
+    e_inlier = prob.e_valid & (chi2 <= th_e) & okd
+    total = jnp.sum(jnp.where(e_inlier, chi2, 0.0))
+    return BAResult(kf_T, pt_X, e_inlier, total)

@@ -83,6 +83,13 @@ def _line_terms(T, lines: LineObs, intr):
     return r, J, chi2, ok_depth
 
 
+from functools import partial
+
+
+@partial(
+    jax.jit,
+    static_argnames=("n_rounds", "n_iters", "chi2_mono", "chi2_stereo", "chi2_line"),
+)
 def pose_optimization(
     T_cw0: jnp.ndarray,
     pts: PoseObs,

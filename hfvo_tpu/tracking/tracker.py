@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import VOConfig
 from ..geometry import se3
+from ..mapping.local_mapping import LocalMapper
 from ..solve.lm import PoseObs, pose_optimization
 from ..vomap.map import VOMap
 from . import matcher
@@ -43,7 +44,9 @@ class TrackResult:
 @dataclass
 class Tracker:
     cfg: VOConfig
+    use_local_ba: bool = True
     vomap: VOMap = field(init=False)
+    mapper: LocalMapper = field(init=False)
     state: TrackState = TrackState.NOT_INITIALIZED
     T_cw: np.ndarray = field(init=False)
     velocity: np.ndarray = field(init=False)  # T_cw_cur @ inv(T_cw_last)
@@ -53,8 +56,14 @@ class Tracker:
 
     def __post_init__(self):
         self.vomap = VOMap(self.cfg)
+        self.mapper = LocalMapper(self.cfg, self.vomap)
         self.T_cw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
+        # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
+        # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
+        # each frame stores its pose relative to a reference keyframe so that
+        # later BA corrections propagate to the whole trajectory).
+        self._traj_rel: list = []
 
     # ------------------------------------------------------------------
 
@@ -68,6 +77,7 @@ class Tracker:
 
         if self.state is TrackState.NOT_INITIALIZED:
             self._initialize(feats, T_cw_init)
+            self._record_trajectory()
             return TrackResult(self.state, self.T_cw.copy(), 0, True)
 
         T_pred = self.velocity @ self.T_cw
@@ -88,9 +98,36 @@ class Tracker:
             if self._need_new_keyframe(n_matches):
                 self._create_keyframe(feats, pt_per_kp)
                 is_kf = True
+                if self.use_local_ba:
+                    self.mapper.run_local_ba()
+                    # BA may have moved the newest KF (= this frame's pose).
+                    self.T_cw = self.vomap.keyframes.T_cw[
+                        self.vomap.next_kf_slot - 1
+                    ].copy()
         else:
             self.state = TrackState.LOST
+        self._record_trajectory()
         return TrackResult(self.state, self.T_cw.copy(), n_matches, is_kf)
+
+    def _record_trajectory(self):
+        ref = self.vomap.next_kf_slot - 1
+        if ref < 0:
+            self._traj_rel.append((-1, self.T_cw.copy()))
+            return
+        T_cr = self.T_cw @ np.linalg.inv(self.vomap.keyframes.T_cw[ref])
+        self._traj_rel.append((ref, T_cr.astype(np.float32)))
+
+    def get_trajectory(self) -> np.ndarray:
+        """(F, 4, 4) camera-to-world poses, chained through the *current*
+        (BA-corrected) keyframe poses (reference: src/System.cc:372-401)."""
+        out = []
+        for ref, T_cr in self._traj_rel:
+            if ref < 0:
+                out.append(np.linalg.inv(T_cr))
+            else:
+                T_cw = T_cr @ self.vomap.keyframes.T_cw[ref]
+                out.append(np.linalg.inv(T_cw))
+        return np.stack(out)
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,123 @@
+import jax.numpy as jnp
+import numpy as np
+
+from hfvo_tpu.config import tum3_config
+from hfvo_tpu.geometry import camera, se3
+from hfvo_tpu.solve.ba import BAProblem, local_bundle_adjustment
+
+INTR = tum3_config().camera
+
+
+def make_ba_problem(
+    rng, K=6, P=300, pose_noise=0.02, pt_noise=0.02, obs_noise=0.3, outlier_frac=0.0
+):
+    """K cameras in a line observing P landmarks; first two KFs fixed."""
+    X_gt = np.stack(
+        [rng.uniform(-2, 2, P), rng.uniform(-1.5, 1.5, P), rng.uniform(3, 7, P)], 1
+    ).astype(np.float32)
+    T_gt = []
+    for k in range(K):
+        xi = np.zeros(6, np.float32)
+        xi[0] = 0.15 * k  # translate along x
+        xi[4] = 0.02 * k  # slight yaw
+        T_gt.append(np.asarray(se3.exp_se3(jnp.asarray(xi))))
+    T_gt = np.stack(T_gt)
+
+    e_kf, e_pt, e_obs = [], [], []
+    for k in range(K):
+        X_c = np.asarray(se3.transform(jnp.asarray(T_gt[k]), jnp.asarray(X_gt)))
+        uvr = np.array(camera.project_stereo(INTR, jnp.asarray(X_c)))
+        uvr[:, :2] += rng.normal(size=(P, 2)) * obs_noise
+        vis = (
+            (X_c[:, 2] > 0.5)
+            & (uvr[:, 0] > 0) & (uvr[:, 0] < 640)
+            & (uvr[:, 1] > 0) & (uvr[:, 1] < 480)
+        )
+        ids = np.nonzero(vis)[0]
+        e_kf += [k] * len(ids)
+        e_pt += list(ids)
+        e_obs += list(uvr[ids])
+    e_kf = np.array(e_kf, np.int32)
+    e_pt = np.array(e_pt, np.int32)
+    e_obs = np.stack(e_obs).astype(np.float32)
+    E = len(e_kf)
+    n_out = int(E * outlier_frac)
+    if n_out:
+        sel = rng.choice(E, n_out, replace=False)
+        e_obs[sel, :2] += rng.uniform(15, 60, (n_out, 2)) * rng.choice([-1, 1], (n_out, 2))
+
+    # Perturb initial estimates (fixed KFs stay at GT).
+    T_init = T_gt.copy()
+    for k in range(2, K):
+        xi = rng.normal(size=6).astype(np.float32) * pose_noise
+        T_init[k] = np.asarray(se3.exp_se3(jnp.asarray(xi))) @ T_gt[k]
+    X_init = X_gt + rng.normal(size=(P, 3)).astype(np.float32) * pt_noise
+
+    prob = BAProblem(
+        kf_T_cw=jnp.asarray(T_init),
+        kf_free=jnp.asarray(np.arange(K) >= 2),
+        pt_X=jnp.asarray(X_init),
+        pt_valid=jnp.ones((P,), bool),
+        e_kf=jnp.asarray(e_kf),
+        e_pt=jnp.asarray(e_pt),
+        e_obs=jnp.asarray(e_obs),
+        e_stereo=jnp.ones((E,), bool),
+        e_inv_sigma2=jnp.ones((E,)),
+        e_valid=jnp.ones((E,), bool),
+    )
+    return prob, T_gt, X_gt, n_out
+
+
+def pose_errors(T_est, T_gt):
+    err = np.asarray(se3.log_se3(jnp.asarray(T_gt) @ se3.inv(jnp.asarray(T_est))))
+    return np.abs(err)
+
+
+def test_ba_converges_clean(rng):
+    prob, T_gt, X_gt, _ = make_ba_problem(rng, obs_noise=0.0)
+    res = local_bundle_adjustment(prob, INTR)
+    perr = pose_errors(np.asarray(res.kf_T_cw), T_gt)
+    assert perr.max() < 2e-3, perr.max()
+    xerr = np.abs(np.asarray(res.pt_X) - X_gt)
+    assert np.median(xerr) < 2e-3
+    assert bool(np.asarray(res.e_inlier).all())
+
+
+def test_ba_improves_noisy(rng):
+    prob, T_gt, X_gt, _ = make_ba_problem(rng, pose_noise=0.05, pt_noise=0.05, obs_noise=0.5)
+    perr0 = pose_errors(np.asarray(prob.kf_T_cw), T_gt)
+    res = local_bundle_adjustment(prob, INTR)
+    perr = pose_errors(np.asarray(res.kf_T_cw), T_gt)
+    assert perr[2:, :3].max() < perr0[2:, :3].max() * 0.3
+    assert perr[2:, :3].max() < 0.01  # within 1 cm
+
+
+def test_ba_fixed_kfs_untouched(rng):
+    prob, T_gt, _, _ = make_ba_problem(rng)
+    res = local_bundle_adjustment(prob, INTR)
+    np.testing.assert_allclose(np.asarray(res.kf_T_cw)[:2], T_gt[:2], atol=1e-7)
+
+
+def test_ba_rejects_outliers(rng):
+    prob, T_gt, X_gt, n_out = make_ba_problem(
+        rng, pose_noise=0.03, pt_noise=0.03, obs_noise=0.3, outlier_frac=0.15
+    )
+    res = local_bundle_adjustment(prob, INTR)
+    perr = pose_errors(np.asarray(res.kf_T_cw), T_gt)
+    assert perr[2:, :3].max() < 0.015, perr
+    inl = np.asarray(res.e_inlier)
+    assert inl.mean() > 0.7  # most edges kept
+    assert inl.mean() < 0.95  # outliers demoted
+
+
+def test_ba_unobserved_points_stable(rng):
+    prob, T_gt, X_gt, _ = make_ba_problem(rng, P=100)
+    # Invalidate half the points' edges; those points must not move or NaN.
+    e_pt = np.asarray(prob.e_pt)
+    keep = e_pt < 50
+    prob = prob._replace(e_valid=jnp.asarray(keep))
+    res = local_bundle_adjustment(prob, INTR)
+    assert np.isfinite(np.asarray(res.pt_X)).all()
+    np.testing.assert_allclose(
+        np.asarray(res.pt_X)[50:], np.asarray(prob.pt_X)[50:], atol=1e-6
+    )

@@ -29,21 +29,24 @@ def main() -> None:
     from hfvo_tpu.tracking.tracker import Tracker
 
     cfg = tum3_config()
-    n_render = 12
-    T_wc, grays, depths = synthetic.render_sequence(n=n_render, seed=0)
+    n_warm, n_timed = 8, 30
+    T_wc, grays, depths = synthetic.render_sequence(n=n_warm + n_timed, seed=0)
     grays = [jnp.asarray(g) for g in grays]
     depths = [jnp.asarray(d) for d in depths]
 
-    tracker = Tracker(cfg)
-    # Warmup: initialize + compile every kernel in the loop.
-    for i in range(3):
+    # Local BA runs on a background thread in the reference and is excluded
+    # from its "Mean Tracking Time" metric (rgbd_tum.cc:159-166); measure the
+    # tracking path the same way.
+    tracker = Tracker(cfg, use_local_ba=False)
+    # Warmup: initialize + compile every kernel in the loop (incl. the
+    # wide-window recovery variant).
+    for i in range(n_warm):
         tracker.track_rgbd(grays[i], depths[i], T_cw_init=np.linalg.inv(T_wc[0]))
+    tracker._track_local_map(grays[0], depths[0], tracker.T_cw, radius=50.0, check_octave=False)
 
-    n_timed = 30
     t0 = time.perf_counter()
-    for i in range(n_timed):
-        j = 3 + (i % (n_render - 3))
-        tracker.track_rgbd(grays[j], depths[j])
+    for i in range(n_warm, n_warm + n_timed):
+        tracker.track_rgbd(grays[i], depths[i])
     dt = time.perf_counter() - t0
     fps = n_timed / dt
 

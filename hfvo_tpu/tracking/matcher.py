@@ -24,7 +24,7 @@ INF_KEY = jnp.int32(2**30)
 
 
 class ProjMatchResult(NamedTuple):
-    pt_id_per_kp: jnp.ndarray  # (N,) int32 landmark slot per keypoint (-1 none)
+    pt_id_per_kp: jnp.ndarray  # (N,) int32 landmark row per keypoint (-1 none)
     n_matches: jnp.ndarray  # scalar int32
     visible: jnp.ndarray  # (L,) bool landmark projected into the image
 
@@ -34,7 +34,7 @@ def search_by_projection(
     map_X: jnp.ndarray,  # (L, 3) world points
     map_desc: jnp.ndarray,  # (L, 8)
     map_valid: jnp.ndarray,  # (L,)
-    map_ids: jnp.ndarray,  # (L,) global slot ids to report
+    map_ids: jnp.ndarray,  # (L,) ids to report back (pass arange for local rows)
     map_octave: jnp.ndarray,  # (L,)
     kp_uv: jnp.ndarray,  # (N, 2)
     kp_desc: jnp.ndarray,  # (N, 8)

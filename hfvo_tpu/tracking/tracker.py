@@ -13,8 +13,10 @@ from __future__ import annotations
 
 import enum
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -24,13 +26,57 @@ from ..mapping.local_mapping import LocalMapper
 from ..solve.lm import PoseObs, pose_optimization
 from ..vomap.map import VOMap
 from . import matcher
-from .frontend import FrameFeatures, extract_frame_jit
+from .frontend import FrameFeatures, extract_frame, extract_frame_jit
 
 
 class TrackState(enum.Enum):
     NOT_INITIALIZED = 0
     OK = 1
     LOST = 2
+
+
+@partial(jax.jit, static_argnames=("cfg", "radius", "check_octave"))
+def fused_track_step(
+    cfg: VOConfig,
+    gray: jnp.ndarray,
+    depth: jnp.ndarray,
+    map_X: jnp.ndarray,  # (L, 3) local-map snapshot (device-resident)
+    map_desc: jnp.ndarray,
+    map_valid: jnp.ndarray,
+    map_octave: jnp.ndarray,
+    T_pred: jnp.ndarray,
+    radius: float = 15.0,
+    check_octave: bool = True,
+):
+    """One device program for the whole per-frame hot path:
+    extraction -> projection matching -> pose LM. A single dispatch and a
+    single host pull per frame (the reference spreads this over 4+ CPU
+    threads and many locks; here XLA schedules it on-chip).
+    """
+    feats = extract_frame(gray, depth, cfg)
+    L = map_X.shape[0]
+    res = matcher.search_by_projection(
+        map_X, map_desc, map_valid,
+        jnp.arange(L, dtype=jnp.int32), map_octave,
+        feats.uv, feats.desc, feats.octave, feats.valid,
+        T_pred, cfg.camera, radius=radius, check_octave=check_octave,
+    )
+    pt_local = res.pt_id_per_kp  # (N,) row into snapshot or -1
+    matched = pt_local >= 0
+    X_w = map_X[jnp.maximum(pt_local, 0)]
+    pts = PoseObs(
+        X_w=X_w,
+        obs=feats.obs,
+        is_stereo=feats.depth > 1e-3,
+        inv_sigma2=feats.inv_sigma2,
+        valid=matched & feats.valid,
+    )
+    opt = pose_optimization(
+        T_pred, pts, cfg.camera,
+        chi2_mono=cfg.tracking.chi2_mono,
+        chi2_stereo=cfg.tracking.chi2_stereo,
+    )
+    return opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats
 
 
 @dataclass
@@ -59,6 +105,7 @@ class Tracker:
         self.mapper = LocalMapper(self.cfg, self.vomap)
         self.T_cw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
+        self._snap = None
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
@@ -73,20 +120,22 @@ class Tracker:
         """Process one RGB-D frame (reference: System::TrackRGBD ->
         Tracking::GrabImageRGBD_wh, src/Tracking.cc:236)."""
         self.frame_id += 1
-        feats = extract_frame_jit(jnp.asarray(gray), jnp.asarray(depth), self.cfg)
+        gray = jnp.asarray(gray)
+        depth = jnp.asarray(depth)
 
         if self.state is TrackState.NOT_INITIALIZED:
+            feats = extract_frame_jit(gray, depth, self.cfg)
             self._initialize(feats, T_cw_init)
             self._record_trajectory()
             return TrackResult(self.state, self.T_cw.copy(), 0, True)
 
         T_pred = self.velocity @ self.T_cw
-        ok, T_new, pt_per_kp, n_matches = self._track_local_map(feats, T_pred)
+        ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(gray, depth, T_pred)
         if not ok:
             # Wide-window recovery from the last pose (round-1 stand-in for
             # BoW relocalization, reference: src/Tracking.cc:3760).
-            ok, T_new, pt_per_kp, n_matches = self._track_local_map(
-                feats, self.T_cw, radius=50.0, check_octave=False
+            ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(
+                gray, depth, self.T_cw, radius=50.0, check_octave=False
             )
 
         is_kf = False
@@ -104,6 +153,7 @@ class Tracker:
                     self.T_cw = self.vomap.keyframes.T_cw[
                         self.vomap.next_kf_slot - 1
                     ].copy()
+                self.invalidate_map_snapshot()
         else:
             self.state = TrackState.LOST
         self._record_trajectory()
@@ -144,72 +194,63 @@ class Tracker:
         self.state = TrackState.OK
         self.last_kf_frame = self.frame_id
 
+    def invalidate_map_snapshot(self):
+        self._snap = None
+
     def _local_map_snapshot(self):
+        """Device-resident local-map snapshot, rebuilt only when the map
+        changed (KF insertion / BA / culling) — keeps the per-frame path at
+        one host->device upload (the images) and one device->host pull."""
+        if self._snap is not None:
+            return self._snap
         cap = self.cfg.cap.local_points
         ids = self.vomap.local_point_ids(self.cfg.tracking.local_map_size_kf, cap)
         pad = np.full((cap,), -1, np.int64)
         pad[: len(ids)] = ids
         safe = np.maximum(pad, 0)
         p = self.vomap.points
-        return (
+        self._snap = (
             jnp.asarray(p.X_w[safe]),
             jnp.asarray(p.desc[safe]),
             jnp.asarray((pad >= 0) & p.valid[safe]),
-            jnp.asarray(pad.astype(np.int32)),
             jnp.asarray(p.octave[safe]),
             pad,
         )
+        return self._snap
 
     def _track_local_map(
         self,
-        feats: FrameFeatures,
+        gray: jnp.ndarray,
+        depth: jnp.ndarray,
         T_pred: np.ndarray,
         radius: float = 15.0,
         check_octave: bool = True,
     ):
         """Project local map into the predicted view, match, optimize pose
         (reference: TrackWithMotionModel + TrackLocalMapWithLines,
-        src/Tracking.cc:2251, :2816)."""
-        mX, mdesc, mvalid, mids, moct, pad = self._local_map_snapshot()
-        res = matcher.search_by_projection(
-            mX, mdesc, mvalid, mids, moct,
-            feats.uv, feats.desc, feats.octave, feats.valid,
-            jnp.asarray(T_pred), self.cfg.camera,
+        src/Tracking.cc:2251, :2816) — all in one fused device call."""
+        mX, mdesc, mvalid, moct, pad = self._local_map_snapshot()
+        T_new_d, inlier_d, n_in_d, pt_local_d, visible_d, feats = fused_track_step(
+            self.cfg, gray, depth, mX, mdesc, mvalid, moct,
+            jnp.asarray(T_pred.astype(np.float32)),
             radius=radius, check_octave=check_octave,
         )
-        pt_per_kp = np.asarray(res.pt_id_per_kp)
-        n0 = int(res.n_matches)
-        if n0 < self.cfg.tracking.min_matches_track:
-            return False, T_pred, pt_per_kp, n0
-
+        # Single synchronization point for the frame.
+        T_new, inlier, n_in, pt_local, visible = jax.device_get(
+            (T_new_d, inlier_d, n_in_d, pt_local_d, visible_d)
+        )
+        n_in = int(n_in)
+        pt_per_kp = np.where(pt_local >= 0, pad[np.maximum(pt_local, 0)], -1)
         matched = pt_per_kp >= 0
-        safe_ids = np.maximum(pt_per_kp, 0)
-        X_w = self.vomap.points.X_w[safe_ids]
-        depth_np = np.asarray(feats.depth)
-        pts = PoseObs(
-            X_w=jnp.asarray(X_w),
-            obs=feats.obs,
-            is_stereo=jnp.asarray(depth_np > 1e-3),
-            inv_sigma2=feats.inv_sigma2,
-            valid=jnp.asarray(matched) & feats.valid,
-        )
-        opt = pose_optimization(
-            jnp.asarray(T_pred), pts, self.cfg.camera,
-            chi2_mono=self.cfg.tracking.chi2_mono,
-            chi2_stereo=self.cfg.tracking.chi2_stereo,
-        )
-        inlier = np.asarray(opt.inlier)
-        n_in = int(opt.n_inliers)
-        T_new = np.asarray(opt.T_cw)
         # Tracking bookkeeping (reference: MapPoint::IncreaseVisible/Found).
-        vis_ids = pad[np.asarray(res.visible) & (pad >= 0)]
+        vis_ids = pad[visible & (pad >= 0)]
         self.vomap.points.n_visible[vis_ids] += 1
         found_ids = pt_per_kp[matched & inlier]
         self.vomap.points.n_found[found_ids] += 1
         self.vomap.points.last_seen_frame[found_ids] = self.frame_id
-        pt_per_kp = np.where(matched & inlier, pt_per_kp, -1)
+        pt_per_kp = np.where(matched & inlier, pt_per_kp, -1).astype(np.int32)
         ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
-        return ok, T_new, pt_per_kp, n_in
+        return ok, T_new.astype(np.float32), pt_per_kp, n_in, feats
 
     def _need_new_keyframe(self, n_matches: int) -> bool:
         """(reference: Tracking::NeedNewKeyFrame, src/Tracking.cc:2923 —

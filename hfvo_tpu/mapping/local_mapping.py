@@ -93,11 +93,47 @@ class LocalMapper:
         free = np.zeros((K,), bool)
         free[n_fixed : len(window)] = True
 
+        # Line-endpoint edges: two landmark slots per map line, appended
+        # after the point landmarks (reference models endpoints as point
+        # vertices, src/Optimizer.cc:3368-3378).
+        kl = vm.kf_lines
+        lid = kl.line_id[window]
+        lov = kl.obs_valid[window] & (lid >= 0) & vm.lines.valid[np.maximum(lid, 0)]
+        lk_idx, lc_idx = np.nonzero(lov)
+        le_line_global = lid[lk_idx, lc_idx]
+        le_line2d = kl.line2d[window][lk_idx, lc_idx]
+        ulines, le_line_local = np.unique(le_line_global, return_inverse=True)
+        n_line_lm = 2 * len(ulines)
+        if npt + n_line_lm > P:
+            # Capacity: drop line edges beyond what fits (points take priority).
+            max_lines = max((P - npt) // 2, 0)
+            keepl = le_line_local < max_lines
+            lk_idx, lc_idx = lk_idx[keepl], lc_idx[keepl]
+            le_line_local, le_line2d = le_line_local[keepl], le_line2d[keepl]
+            ulines = ulines[:max_lines]
+        lm_X = np.concatenate(
+            [
+                vm.points.X_w[upts].astype(np.float32),
+                vm.lines.X0_w[ulines].astype(np.float32),
+                vm.lines.X1_w[ulines].astype(np.float32),
+            ]
+        ) if len(ulines) else vm.points.X_w[upts].astype(np.float32)
+        n_lm = len(lm_X)
+        # Endpoint landmark rows: X0 at npt + i, X1 at npt + len(ulines) + i.
+        le_kf = np.concatenate([lk_idx, lk_idx]).astype(np.int32)
+        le_lm = np.concatenate(
+            [npt + le_line_local, npt + len(ulines) + le_line_local]
+        ).astype(np.int32)
+        le_l2d = np.concatenate([le_line2d, le_line2d]).astype(np.float32)
+        El = self.cfg.cap.ba_edges // 4
+        nle = min(len(le_kf), El)
+        le_kf, le_lm, le_l2d = le_kf[:nle], le_lm[:nle], le_l2d[:nle]
+
         prob = BAProblem(
             kf_T_cw=jnp.asarray(T_full),
             kf_free=jnp.asarray(free),
-            pt_X=jnp.asarray(pad(vm.points.X_w[upts].astype(np.float32), P)),
-            pt_valid=jnp.asarray(pad(np.ones(npt, bool), P)),
+            pt_X=jnp.asarray(pad(lm_X, P)),
+            pt_valid=jnp.asarray(pad(np.ones(n_lm, bool), P)),
             e_kf=jnp.asarray(pad(k_idx.astype(np.int32), E)),
             e_pt=jnp.asarray(pad(e_pt_local.astype(np.int32), E)),
             e_obs=jnp.asarray(pad(e_obs.astype(np.float32), E)),
@@ -106,13 +142,22 @@ class LocalMapper:
                 pad((1.0 / 1.2 ** (2.0 * e_oct)).astype(np.float32), E)
             ),
             e_valid=jnp.asarray(pad(np.ones(ne, bool), E)),
+            le_kf=jnp.asarray(pad(le_kf, El)),
+            le_lm=jnp.asarray(pad(le_lm, El)),
+            le_line2d=jnp.asarray(pad(le_l2d, El)),
+            le_inv_sigma2=jnp.asarray(pad(np.ones(nle, np.float32), El)),
+            le_valid=jnp.asarray(pad(np.ones(nle, bool), El)),
         )
         res = local_bundle_adjustment(prob, self.cfg.camera)
 
-        # Write back poses + points.
+        # Write back poses + points + line endpoints.
         T_new = np.asarray(res.kf_T_cw)[: len(window)]
         kf.T_cw[window] = T_new
-        vm.points.X_w[upts] = np.asarray(res.pt_X)[:npt]
+        lm_out = np.asarray(res.pt_X)
+        vm.points.X_w[upts] = lm_out[:npt]
+        if len(ulines):
+            vm.lines.X0_w[ulines] = lm_out[npt : npt + len(ulines)]
+            vm.lines.X1_w[ulines] = lm_out[npt + len(ulines) : npt + 2 * len(ulines)]
         # Erase outlier observations (reference: Optimizer.cc:3907-3929).
         inlier = np.asarray(res.e_inlier)[:ne]
         bad = ~inlier
@@ -122,6 +167,17 @@ class LocalMapper:
             pts_bad = kf.point_id[window[bk], bc]
             np.add.at(vm.points.n_obs, pts_bad, -1)
             kf.point_id[window[bk], bc] = -1
+        # Outlier line observations: an edge covers one endpoint; erase the
+        # observation when either endpoint edge fails the gate.
+        le_inlier = np.asarray(res.le_inlier)[:nle]
+        half = nle // 2
+        bad_l = ~(le_inlier[:half] & le_inlier[half : 2 * half])
+        if bad_l.any():
+            blk, blc = lk_idx[:half][bad_l], lc_idx[:half][bad_l]
+            kl.obs_valid[window[blk], blc] = False
+            lids_bad = kl.line_id[window[blk], blc]
+            np.add.at(vm.lines.n_obs, lids_bad, -1)
+            kl.line_id[window[blk], blc] = -1
         self.n_ba_runs += 1
         return True
 

@@ -31,11 +31,19 @@ from . import residuals
 
 
 class BAProblem(NamedTuple):
-    """Fixed-capacity local BA problem."""
+    """Fixed-capacity local BA problem.
+
+    The landmark table `pt_X` holds point landmarks AND line endpoints (the
+    reference also models line endpoints as two marginalized
+    `VertexSBAPointXYZ`, src/Optimizer.cc:3368-3378). Point edges carry
+    (u, v, u_r) reprojection residuals; line edges tie one landmark (an
+    endpoint) to an observed 2D infinite line with a 1-D distance residual
+    (`DistPt2Line2DMultiFrame`, include/g2oMSC.h:561).
+    """
 
     kf_T_cw: jnp.ndarray  # (K, 4, 4)
     kf_free: jnp.ndarray  # (K,) bool — False: fixed frontier / invalid
-    pt_X: jnp.ndarray  # (P, 3)
+    pt_X: jnp.ndarray  # (P, 3) landmarks: points + line endpoints
     pt_valid: jnp.ndarray  # (P,) bool
     e_kf: jnp.ndarray  # (E,) int32
     e_pt: jnp.ndarray  # (E,) int32
@@ -43,12 +51,29 @@ class BAProblem(NamedTuple):
     e_stereo: jnp.ndarray  # (E,) bool
     e_inv_sigma2: jnp.ndarray  # (E,)
     e_valid: jnp.ndarray  # (E,) bool
+    # Line-endpoint edges (empty arrays when lines are off).
+    le_kf: jnp.ndarray  # (El,) int32
+    le_lm: jnp.ndarray  # (El,) int32 landmark row (an endpoint)
+    le_line2d: jnp.ndarray  # (El, 3) normalized (a, b, c)
+    le_inv_sigma2: jnp.ndarray  # (El,)
+    le_valid: jnp.ndarray  # (El,) bool
+
+    @staticmethod
+    def empty_line_edges(n: int = 1):
+        return dict(
+            le_kf=jnp.zeros((n,), jnp.int32),
+            le_lm=jnp.zeros((n,), jnp.int32),
+            le_line2d=jnp.zeros((n, 3), jnp.float32),
+            le_inv_sigma2=jnp.zeros((n,), jnp.float32),
+            le_valid=jnp.zeros((n,), bool),
+        )
 
 
 class BAResult(NamedTuple):
     kf_T_cw: jnp.ndarray
     pt_X: jnp.ndarray
     e_inlier: jnp.ndarray  # (E,) bool post-gating
+    le_inlier: jnp.ndarray  # (El,) bool
     chi2: jnp.ndarray  # final total inlier chi2
 
 
@@ -77,7 +102,21 @@ def _edge_terms(prob: BAProblem, kf_T, pt_X, intr):
     return r, Jp, Jx, comp, chi2, okd
 
 
-def _build_blocks(prob: BAProblem, kf_T, pt_X, intr, e_active, robust, delta_e):
+def _line_edge_terms(prob: BAProblem, kf_T, pt_X, intr):
+    """1-D point-to-2D-line residuals for line-endpoint edges."""
+    T_e = kf_T[prob.le_kf]
+    X_e = pt_X[prob.le_lm]
+    r, Jp, z = residuals.line_endpoint_residual(T_e, X_e, prob.le_line2d, intr)
+    # point Jacobian = a-weighted proj rows @ R (recover from Jp's trans block)
+    R_e = T_e[:, :3, :3]
+    Jx = Jp[:, :, :3] @ R_e  # (El, 1, 3)
+    chi2 = (r[..., 0] ** 2) * prob.le_inv_sigma2
+    return r, Jp, Jx, chi2, z > 1e-3
+
+
+def _build_blocks(
+    prob: BAProblem, kf_T, pt_X, intr, e_active, le_active, robust, delta_e, delta_l
+):
     """Accumulate Hpp (K,6,6), U (P,K,6,3), Hll (P,3,3), b_p (K,6), b_l (P,3)."""
     r, Jp, Jx, comp, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
     w = jnp.where(e_active & okd, prob.e_inv_sigma2, 0.0)
@@ -99,12 +138,27 @@ def _build_blocks(prob: BAProblem, kf_T, pt_X, intr, e_active, robust, delta_e):
     bp = jnp.zeros((K, 6)).at[prob.e_kf].add(bp_e)
     bl = jnp.zeros((P, 3)).at[prob.e_pt].add(bl_e)
     total_chi2 = jnp.sum(jnp.where(e_active & okd, chi2, 0.0))
+
+    # Line-endpoint edges fold into the same blocks.
+    rl, Jpl, Jxl, chi2l, okdl = _line_edge_terms(prob, kf_T, pt_X, intr)
+    wl = jnp.where(le_active & okdl, prob.le_inv_sigma2, 0.0)
+    if robust:
+        wl = wl * jnp.minimum(1.0, delta_l / jnp.sqrt(jnp.maximum(chi2l, 1e-12)))
+    Wl = wl[:, None]  # (El, 1)
+    Hpp = Hpp.at[prob.le_kf].add(jnp.einsum("eki,ek,ekj->eij", Jpl, Wl, Jpl))
+    Hll = Hll.at[prob.le_lm].add(jnp.einsum("eki,ek,ekj->eij", Jxl, Wl, Jxl))
+    U = U.at[prob.le_lm, prob.le_kf].add(jnp.einsum("eki,ek,ekj->eij", Jpl, Wl, Jxl))
+    bp = bp.at[prob.le_kf].add(jnp.einsum("eki,ek->ei", Jpl, Wl * rl))
+    bl = bl.at[prob.le_lm].add(jnp.einsum("eki,ek->ei", Jxl, Wl * rl))
+    total_chi2 = total_chi2 + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0))
     return Hpp, Hll, U, bp, bl, total_chi2
 
 
-def _chi2_total(prob: BAProblem, kf_T, pt_X, intr, e_active):
+def _chi2_total(prob: BAProblem, kf_T, pt_X, intr, e_active, le_active):
     *_, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
-    return jnp.sum(jnp.where(e_active & okd, chi2, 0.0))
+    t = jnp.sum(jnp.where(e_active & okd, chi2, 0.0))
+    *_, chi2l, okdl = _line_edge_terms(prob, kf_T, pt_X, intr)
+    return t + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0))
 
 
 def _schur_solve(prob, Hpp, Hll, U, bp, bl, lam):
@@ -150,7 +204,10 @@ def _schur_solve(prob, Hpp, Hll, U, bp, bl, lam):
     return dpose, dpt
 
 
-@partial(jax.jit, static_argnames=("n_iters1", "n_iters2", "chi2_mono", "chi2_stereo"))
+@partial(
+    jax.jit,
+    static_argnames=("n_iters1", "n_iters2", "chi2_mono", "chi2_stereo", "chi2_line"),
+)
 def local_bundle_adjustment(
     prob: BAProblem,
     intr: Intrinsics,
@@ -158,22 +215,24 @@ def local_bundle_adjustment(
     n_iters2: int = 10,
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
+    chi2_line: float = 3.84,
 ) -> BAResult:
     """Two-stage local BA with outlier demotion between stages
     (reference: src/Optimizer.cc:3818-3899 optimize(5) -> gate -> optimize(10))."""
     th_e = jnp.where(prob.e_stereo, chi2_stereo, chi2_mono)
     delta_e = jnp.sqrt(th_e)
+    delta_l = jnp.sqrt(jnp.asarray(chi2_line))
 
-    def lm_stage(kf_T, pt_X, e_active, n_iters, robust):
+    def lm_stage(kf_T, pt_X, e_active, le_active, n_iters, robust):
         def body(_, carry):
             kf_T, pt_X, lam = carry
             Hpp, Hll, U, bp, bl, chi2_cur = _build_blocks(
-                prob, kf_T, pt_X, intr, e_active, robust, delta_e
+                prob, kf_T, pt_X, intr, e_active, le_active, robust, delta_e, delta_l
             )
             dpose, dpt = _schur_solve(prob, Hpp, Hll, U, bp, bl, lam)
             kf_T_new = se3.exp_se3(dpose) @ kf_T
             pt_X_new = pt_X + dpt
-            chi2_new = _chi2_total(prob, kf_T_new, pt_X_new, intr, e_active)
+            chi2_new = _chi2_total(prob, kf_T_new, pt_X_new, intr, e_active, le_active)
             finite = jnp.all(jnp.isfinite(kf_T_new)) & jnp.all(jnp.isfinite(pt_X_new))
             accept = (chi2_new < chi2_cur) & finite
             kf_T = jnp.where(accept, kf_T_new, kf_T)
@@ -187,13 +246,20 @@ def local_bundle_adjustment(
         return kf_T, pt_X
 
     e_active = prob.e_valid & prob.pt_valid[prob.e_pt]
-    kf_T, pt_X = lm_stage(prob.kf_T_cw, prob.pt_X, e_active, n_iters1, True)
+    le_active = prob.le_valid & prob.pt_valid[prob.le_lm]
+    kf_T, pt_X = lm_stage(prob.kf_T_cw, prob.pt_X, e_active, le_active, n_iters1, True)
     # Outlier demotion between stages.
     *_, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
     e_active = e_active & (chi2 <= th_e) & okd
-    kf_T, pt_X = lm_stage(kf_T, pt_X, e_active, n_iters2, False)
+    *_, chi2l, okdl = _line_edge_terms(prob, kf_T, pt_X, intr)
+    le_active = le_active & (chi2l <= chi2_line) & okdl
+    kf_T, pt_X = lm_stage(kf_T, pt_X, e_active, le_active, n_iters2, False)
     # Final gate for write-back (reference erases these observations).
     *_, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
     e_inlier = prob.e_valid & (chi2 <= th_e) & okd
-    total = jnp.sum(jnp.where(e_inlier, chi2, 0.0))
-    return BAResult(kf_T, pt_X, e_inlier, total)
+    *_, chi2l, okdl = _line_edge_terms(prob, kf_T, pt_X, intr)
+    le_inlier = prob.le_valid & (chi2l <= chi2_line) & okdl
+    total = jnp.sum(jnp.where(e_inlier, chi2, 0.0)) + jnp.sum(
+        jnp.where(le_inlier, chi2l, 0.0)
+    )
+    return BAResult(kf_T, pt_X, e_inlier, le_inlier, total)

@@ -90,6 +90,73 @@ def search_by_projection(
     return ProjMatchResult(pt_per_kp, n, visible)
 
 
+@partial(jax.jit, static_argnames=("radius", "max_desc_dist", "max_angle"))
+def search_lines_by_projection(
+    ml_X0: jnp.ndarray,  # (L, 3) map line endpoints (world)
+    ml_X1: jnp.ndarray,
+    ml_desc: jnp.ndarray,  # (L, D) float band descriptors
+    ml_valid: jnp.ndarray,  # (L,)
+    ln_p0: jnp.ndarray,  # (M, 2) detected segments
+    ln_p1: jnp.ndarray,
+    ln_desc: jnp.ndarray,  # (M, D)
+    ln_valid: jnp.ndarray,
+    T_cw: jnp.ndarray,
+    intr: Intrinsics,
+    radius: float = 30.0,
+    max_desc_dist: float = 0.5,
+    max_angle: float = 0.2,
+) -> ProjMatchResult:
+    """Match projected map lines to detected segments.
+
+    Replaces `LSDmatcher::SearchByProjection` vs map lines
+    (reference: src/LSDmatcher.cpp:709): project both 3D endpoints, gate by
+    midpoint distance + *directional* angle (segments are canonically
+    oriented by gradient polarity) + band-descriptor cosine distance, then
+    resolve conflicts per detected segment.
+    """
+    from ..ops.lines import line_distance_matrix
+
+    L = ml_X0.shape[0]
+    M = ln_p0.shape[0]
+    Q0c = se3.transform(T_cw, ml_X0)
+    Q1c = se3.transform(T_cw, ml_X1)
+    q0 = camera.project(intr, Q0c)
+    q1 = camera.project(intr, Q1c)
+    vis = (
+        ml_valid
+        & (Q0c[:, 2] > 0.1)
+        & (Q1c[:, 2] > 0.1)
+        & (camera.in_image(intr, q0) | camera.in_image(intr, q1))
+    )
+    mid_m = 0.5 * (q0 + q1)  # (L, 2)
+    dir_m = q1 - q0
+    ang_m = jnp.arctan2(dir_m[:, 1], dir_m[:, 0])
+
+    mid_f = 0.5 * (ln_p0 + ln_p1)  # (M, 2)
+    dir_f = ln_p1 - ln_p0
+    ang_f = jnp.arctan2(dir_f[:, 1], dir_f[:, 0])
+
+    dm = jnp.linalg.norm(mid_m[:, None, :] - mid_f[None, :, :], axis=-1)
+    da = jnp.abs(((ang_m[:, None] - ang_f[None, :]) + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+    mask = vis[:, None] & ln_valid[None, :] & (dm < radius) & (da < max_angle)
+
+    D = line_distance_matrix(ml_desc, ln_desc)  # (L, M) in [0, 2]
+    Di = jnp.clip((D * 1000).astype(jnp.int32), 0, 2000)
+    best_f, best_d, _ = hamming.masked_best2(Di, mask, invalid=10_000)
+    matched = best_d <= int(max_desc_dist * 1000)
+
+    key = jnp.where(matched, best_d * L + jnp.arange(L), INF_KEY)
+    f_min_key = jnp.full((M,), INF_KEY).at[best_f].min(key)
+    keep = matched & (key == f_min_key[best_f])
+
+    per_f = jnp.full((M,), -1, jnp.int32)
+    per_f = per_f.at[jnp.where(keep, best_f, M)].set(
+        jnp.where(keep, jnp.arange(L, dtype=jnp.int32), -1), mode="drop"
+    )
+    n = jnp.sum((per_f >= 0).astype(jnp.int32))
+    return ProjMatchResult(per_f, n, vis)
+
+
 @partial(jax.jit, static_argnames=("max_hamming", "ratio"))
 def match_descriptors_mutual(
     desc_a: jnp.ndarray,

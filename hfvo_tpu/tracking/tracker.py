@@ -23,7 +23,9 @@ import numpy as np
 from ..config import VOConfig
 from ..geometry import se3
 from ..mapping.local_mapping import LocalMapper
-from ..solve.lm import PoseObs, pose_optimization
+from ..ops import lines as line_ops
+from ..ops import lines3d as line3d_ops
+from ..solve.lm import LineObs, PoseObs, pose_optimization
 from ..vomap.map import VOMap
 from . import matcher
 from .frontend import FrameFeatures, extract_frame, extract_frame_jit
@@ -44,14 +46,18 @@ def fused_track_step(
     map_desc: jnp.ndarray,
     map_valid: jnp.ndarray,
     map_octave: jnp.ndarray,
+    ml_X0: jnp.ndarray,  # (Ll, 3) map-line snapshot
+    ml_X1: jnp.ndarray,
+    ml_desc: jnp.ndarray,
+    ml_valid: jnp.ndarray,
     T_pred: jnp.ndarray,
     radius: float = 15.0,
     check_octave: bool = True,
 ):
     """One device program for the whole per-frame hot path:
-    extraction -> projection matching -> pose LM. A single dispatch and a
-    single host pull per frame (the reference spreads this over 4+ CPU
-    threads and many locks; here XLA schedules it on-chip).
+    point + line extraction -> projection matching -> hybrid pose LM. A
+    single dispatch and a single host pull per frame (the reference spreads
+    this over 4+ CPU threads and many locks; here XLA schedules it on-chip).
     """
     feats = extract_frame(gray, depth, cfg)
     L = map_X.shape[0]
@@ -71,12 +77,47 @@ def fused_track_step(
         inv_sigma2=feats.inv_sigma2,
         valid=matched & feats.valid,
     )
+
+    if cfg.use_lines:
+        lf = line_ops.detect_lines(gray, capacity=cfg.cap.lines)
+        l3d = line3d_ops.fit_lines_3d(
+            depth, cfg.camera, lf.p0, lf.p1, lf.valid,
+            min_valid=cfg.lines.min_valid_depth_samples,
+            min_length=cfg.lines.min_length_3d,
+        )
+        lres = matcher.search_lines_by_projection(
+            ml_X0, ml_X1, ml_desc, ml_valid,
+            lf.p0, lf.p1, lf.desc, lf.valid,
+            T_pred, cfg.camera,
+        )
+        ln_local = lres.pt_id_per_kp  # (M,) map-line row per segment or -1
+        lmatched = ln_local >= 0
+        safe = jnp.maximum(ln_local, 0)
+        line2d = lf.line2d  # (M, 3)
+        lobs = LineObs(
+            X_w=jnp.concatenate([ml_X0[safe], ml_X1[safe]]),
+            line2d=jnp.concatenate([line2d, line2d]),
+            inv_sigma2=jnp.ones((2 * ln_local.shape[0],)),
+            valid=jnp.concatenate([lmatched, lmatched]) & jnp.concatenate([lf.valid, lf.valid]),
+        )
+    else:
+        lf = l3d = None
+        ln_local = jnp.zeros((0,), jnp.int32)
+        lres = None
+        lobs = None
+
     opt = pose_optimization(
-        T_pred, pts, cfg.camera,
+        T_pred, pts, cfg.camera, lines=lobs,
         chi2_mono=cfg.tracking.chi2_mono,
         chi2_stereo=cfg.tracking.chi2_stereo,
+        chi2_line=cfg.tracking.chi2_line,
     )
-    return opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats
+    line_out = None
+    if cfg.use_lines:
+        M = ln_local.shape[0]
+        ln_inlier = opt.line_inlier[:M] & opt.line_inlier[M:]
+        line_out = (lf, l3d, ln_local, ln_inlier, lres.visible)
+    return opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats, line_out
 
 
 @dataclass
@@ -106,6 +147,7 @@ class Tracker:
         self.T_cw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
         self._snap = None
+        self._last_line_out = None
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
@@ -125,7 +167,7 @@ class Tracker:
 
         if self.state is TrackState.NOT_INITIALIZED:
             feats = extract_frame_jit(gray, depth, self.cfg)
-            self._initialize(feats, T_cw_init)
+            self._initialize(feats, gray, depth, T_cw_init)
             self._record_trajectory()
             return TrackResult(self.state, self.T_cw.copy(), 0, True)
 
@@ -181,15 +223,31 @@ class Tracker:
 
     # ------------------------------------------------------------------
 
-    def _initialize(self, feats: FrameFeatures, T_cw_init: Optional[np.ndarray]):
-        """Create the first keyframe + map points from depth (reference:
-        StereoInitialization, src/Tracking.cc:1350)."""
+    def _initialize(
+        self,
+        feats: FrameFeatures,
+        gray: jnp.ndarray,
+        depth: jnp.ndarray,
+        T_cw_init: Optional[np.ndarray],
+    ):
+        """Create the first keyframe + map points/lines from depth
+        (reference: StereoInitialization, src/Tracking.cc:1350)."""
         if T_cw_init is not None:
             self.T_cw = T_cw_init.astype(np.float32)
         pt_per_kp = np.full((self.cfg.cap.keypoints,), -1, np.int32)
         valid = np.asarray(feats.valid) & (np.asarray(feats.depth) > 1e-3)
         if valid.sum() < 50:
             return  # not enough depth to initialize
+        if self.cfg.use_lines:
+            lf = line_ops.detect_lines(gray, capacity=self.cfg.cap.lines)
+            l3d = line3d_ops.fit_lines_3d(
+                depth, self.cfg.camera, lf.p0, lf.p1, lf.valid,
+                min_valid=self.cfg.lines.min_valid_depth_samples,
+                min_length=self.cfg.lines.min_length_3d,
+            )
+            self._last_line_out = (
+                lf, l3d, np.full((self.cfg.cap.lines,), -1, np.int32)
+            )
         self._create_keyframe(feats, pt_per_kp)
         self.state = TrackState.OK
         self.last_kf_frame = self.frame_id
@@ -209,12 +267,23 @@ class Tracker:
         pad[: len(ids)] = ids
         safe = np.maximum(pad, 0)
         p = self.vomap.points
+        lcap = self.cfg.cap.local_lines
+        lids = self.vomap.local_line_ids(self.cfg.tracking.local_map_size_kf, lcap)
+        lpad = np.full((lcap,), -1, np.int64)
+        lpad[: len(lids)] = lids
+        lsafe = np.maximum(lpad, 0)
+        t = self.vomap.lines
         self._snap = (
             jnp.asarray(p.X_w[safe]),
             jnp.asarray(p.desc[safe]),
             jnp.asarray((pad >= 0) & p.valid[safe]),
             jnp.asarray(p.octave[safe]),
+            jnp.asarray(t.X0_w[lsafe]),
+            jnp.asarray(t.X1_w[lsafe]),
+            jnp.asarray(t.desc[lsafe]),
+            jnp.asarray((lpad >= 0) & t.valid[lsafe]),
             pad,
+            lpad,
         )
         return self._snap
 
@@ -229,11 +298,16 @@ class Tracker:
         """Project local map into the predicted view, match, optimize pose
         (reference: TrackWithMotionModel + TrackLocalMapWithLines,
         src/Tracking.cc:2251, :2816) — all in one fused device call."""
-        mX, mdesc, mvalid, moct, pad = self._local_map_snapshot()
-        T_new_d, inlier_d, n_in_d, pt_local_d, visible_d, feats = fused_track_step(
-            self.cfg, gray, depth, mX, mdesc, mvalid, moct,
-            jnp.asarray(T_pred.astype(np.float32)),
-            radius=radius, check_octave=check_octave,
+        mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, pad, lpad = (
+            self._local_map_snapshot()
+        )
+        T_new_d, inlier_d, n_in_d, pt_local_d, visible_d, feats, line_out = (
+            fused_track_step(
+                self.cfg, gray, depth, mX, mdesc, mvalid, moct,
+                lX0, lX1, ldesc, lvalid,
+                jnp.asarray(T_pred.astype(np.float32)),
+                radius=radius, check_octave=check_octave,
+            )
         )
         # Single synchronization point for the frame.
         T_new, inlier, n_in, pt_local, visible = jax.device_get(
@@ -249,6 +323,23 @@ class Tracker:
         self.vomap.points.n_found[found_ids] += 1
         self.vomap.points.last_seen_frame[found_ids] = self.frame_id
         pt_per_kp = np.where(matched & inlier, pt_per_kp, -1).astype(np.int32)
+
+        self._last_line_out = None
+        if line_out is not None:
+            lf, l3d, ln_local_d, ln_inlier_d, ln_vis_d = line_out
+            ln_local, ln_inlier, ln_vis = jax.device_get(
+                (ln_local_d, ln_inlier_d, ln_vis_d)
+            )
+            ln_per_seg = np.where(ln_local >= 0, lpad[np.maximum(ln_local, 0)], -1)
+            lmatched = ln_per_seg >= 0
+            lvis_ids = lpad[ln_vis & (lpad >= 0)]
+            self.vomap.lines.n_visible[lvis_ids] += 1
+            lfound = ln_per_seg[lmatched & ln_inlier]
+            self.vomap.lines.n_found[lfound] += 1
+            self.vomap.lines.last_seen_frame[lfound] = self.frame_id
+            ln_per_seg = np.where(lmatched & ln_inlier, ln_per_seg, -1).astype(np.int32)
+            self._last_line_out = (lf, l3d, ln_per_seg)
+
         ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
         return ok, T_new.astype(np.float32), pt_per_kp, n_in, feats
 
@@ -295,10 +386,38 @@ class Tracker:
             pt_per_kp[idx[created]] = ids[created]
 
         obs_valid = valid & (pt_per_kp >= 0)
-        self.vomap.add_keyframe(
+        kf_slot = self.vomap.add_keyframe(
             self.T_cw, self.frame_id, pt_per_kp.astype(np.int32),
             obs, octave, desc, obs_valid,
         )
+
+        if self.cfg.use_lines and self._last_line_out is not None:
+            lf, l3d, ln_per_seg = self._last_line_out
+            lvalid = np.asarray(lf.valid)
+            v3d = np.asarray(l3d.valid)
+            line2d = np.asarray(lf.line2d)
+            ldesc = np.asarray(lf.desc)
+            ln_per_seg = np.asarray(ln_per_seg).copy()
+            new_mask = lvalid & v3d & (ln_per_seg < 0)
+            lidx = np.nonzero(new_mask)[0]
+            if len(lidx):
+                T_wc = np.linalg.inv(self.T_cw)
+                X0c = np.asarray(l3d.X0_c)[lidx]
+                X1c = np.asarray(l3d.X1_c)[lidx]
+                X0w = (T_wc[:3, :3] @ X0c.T).T + T_wc[:3, 3]
+                X1w = (T_wc[:3, :3] @ X1c.T).T + T_wc[:3, 3]
+                lids = self.vomap.add_lines(
+                    X0w.astype(np.float32), X1w.astype(np.float32),
+                    ldesc[lidx], self.frame_id,
+                )
+                created = lids >= 0
+                ln_per_seg[lidx[created]] = lids[created]
+            l_obs_valid = lvalid & (ln_per_seg >= 0)
+            self.vomap.add_kf_line_obs(
+                kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid
+            )
+            self.vomap.cull_lines(self.frame_id)
+
         self.last_kf_frame = self.frame_id
         self.n_matches_ref_kf = int(obs_valid.sum())
         self.vomap.cull_points(self.frame_id)

@@ -51,6 +51,36 @@ class PointTable:
 
 
 @dataclass
+class LineTable:
+    """Map lines — 3D endpoint landmarks (reference: src/MapLine.cpp:
+    Vector6d endpoints, distinctive descriptor, Manhattan axis id)."""
+
+    X0_w: np.ndarray  # (N, 3)
+    X1_w: np.ndarray  # (N, 3)
+    desc: np.ndarray  # (N, D) float32 band descriptor
+    valid: np.ndarray  # (N,) bool
+    n_obs: np.ndarray  # (N,) int32
+    n_visible: np.ndarray  # (N,) int32
+    n_found: np.ndarray  # (N,) int32
+    manh_idx: np.ndarray  # (N,) int32 Manhattan axis id (-1 = none)
+    last_seen_frame: np.ndarray  # (N,) int32
+
+    @staticmethod
+    def empty(n: int, d: int) -> "LineTable":
+        return LineTable(
+            X0_w=np.zeros((n, 3), np.float32),
+            X1_w=np.zeros((n, 3), np.float32),
+            desc=np.zeros((n, d), np.float32),
+            valid=np.zeros((n,), bool),
+            n_obs=np.zeros((n,), np.int32),
+            n_visible=np.zeros((n,), np.int32),
+            n_found=np.zeros((n,), np.int32),
+            manh_idx=np.full((n,), -1, np.int32),
+            last_seen_frame=np.full((n,), -1, np.int32),
+        )
+
+
+@dataclass
 class KeyFrameTable:
     """Keyframes with their full observation snapshot (reference:
     src/KeyFrame.cc keeps keypoints, descriptors, and landmark pointers).
@@ -84,19 +114,42 @@ class KeyFrameTable:
 
 
 @dataclass
+class KeyFrameLineTable:
+    """Per-keyframe line observations: which map line each detected segment
+    observes, plus the observed 2D infinite line for BA edges."""
+
+    line_id: np.ndarray  # (K, C) int32, -1 = none
+    line2d: np.ndarray  # (K, C, 3) normalized (a, b, c)
+    obs_valid: np.ndarray  # (K, C)
+
+    @staticmethod
+    def empty(k: int, c: int) -> "KeyFrameLineTable":
+        return KeyFrameLineTable(
+            line_id=np.full((k, c), -1, np.int32),
+            line2d=np.zeros((k, c, 3), np.float32),
+            obs_valid=np.zeros((k, c), bool),
+        )
+
+
+@dataclass
 class VOMap:
     """Host-side map orchestrator."""
 
     cfg: VOConfig
     points: PointTable = field(init=False)
+    lines: "LineTable" = field(init=False)
     keyframes: KeyFrameTable = field(init=False)
+    kf_lines: "KeyFrameLineTable" = field(init=False)
     next_point_slot: int = 0
     next_kf_slot: int = 0
 
     def __post_init__(self):
         cap = self.cfg.cap
         self.points = PointTable.empty(cap.map_points)
+        self.lines = LineTable.empty(cap.map_lines, 4 * 9)  # DESC_BANDS * 4
         self.keyframes = KeyFrameTable.empty(cap.keyframes, cap.keypoints)
+        self.kf_lines = KeyFrameLineTable.empty(cap.keyframes, cap.lines)
+        self.next_line_slot = 0
 
     # ---- keyframes -------------------------------------------------------
 
@@ -164,6 +217,60 @@ class VOMap:
         if take:
             self.next_point_slot = int(slots[-1]) + 1
         return ids
+
+    # ---- lines -----------------------------------------------------------
+
+    def add_lines(
+        self, X0_w: np.ndarray, X1_w: np.ndarray, desc: np.ndarray, frame_id: int
+    ) -> np.ndarray:
+        """Append new map lines; returns slot ids (-1 where dropped)."""
+        n = len(X0_w)
+        free = np.nonzero(~self.lines.valid[self.next_line_slot :])[0]
+        ids = np.full((n,), -1, np.int64)
+        take = min(n, len(free))
+        slots = self.next_line_slot + free[:take]
+        ids[:take] = slots
+        t = self.lines
+        t.X0_w[slots] = X0_w[:take]
+        t.X1_w[slots] = X1_w[:take]
+        t.desc[slots] = desc[:take]
+        t.valid[slots] = True
+        t.n_obs[slots] = 0
+        t.n_visible[slots] = 1
+        t.n_found[slots] = 1
+        t.manh_idx[slots] = -1
+        t.last_seen_frame[slots] = frame_id
+        if take:
+            self.next_line_slot = int(slots[-1]) + 1
+        return ids
+
+    def add_kf_line_obs(
+        self, kf_slot: int, line_id: np.ndarray, line2d: np.ndarray, obs_valid: np.ndarray
+    ) -> None:
+        kl = self.kf_lines
+        kl.line_id[kf_slot] = line_id
+        kl.line2d[kf_slot] = line2d
+        kl.obs_valid[kf_slot] = obs_valid
+        ids = line_id[obs_valid & (line_id >= 0)]
+        np.add.at(self.lines.n_obs, ids, 1)
+
+    def cull_lines(self, current_frame: int) -> int:
+        """(reference: LocalMapping::MapLineCulling, src/LocalMapping.cc:297)."""
+        t = self.lines
+        ratio = t.n_found / np.maximum(t.n_visible, 1)
+        stale = (t.last_seen_frame < current_frame - 60) & (t.n_obs < 2)
+        bad = t.valid & ((ratio < 0.25) | stale)
+        t.valid[bad] = False
+        return int(bad.sum())
+
+    def local_line_ids(self, n_recent_kfs: int, cap: int) -> np.ndarray:
+        kl = self.kf_lines
+        ks = np.nonzero(self.keyframes.valid)[0][-n_recent_kfs:]
+        lid = kl.line_id[ks]
+        ok = kl.obs_valid[ks] & (lid >= 0)
+        ids = np.unique(lid[ok])
+        ids = ids[self.lines.valid[ids]]
+        return ids[-cap:]
 
     def cull_points(self, current_frame: int) -> int:
         """Drop low-quality points (reference: LocalMapping::MapPointCulling,

@@ -64,6 +64,7 @@ def make_ba_problem(
         e_stereo=jnp.ones((E,), bool),
         e_inv_sigma2=jnp.ones((E,)),
         e_valid=jnp.ones((E,), bool),
+        **BAProblem.empty_line_edges(),
     )
     return prob, T_gt, X_gt, n_out
 

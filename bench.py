@@ -20,7 +20,19 @@ import numpy as np
 BASELINE_FPS = 30.0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent compilation cache: the hybrid fused program takes minutes
+    to compile over the remote-compile tunnel the first time; cached runs
+    load in seconds."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
 def main() -> None:
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -47,10 +47,29 @@ class LineObs(NamedTuple):
     valid: jnp.ndarray  # (M,) bool
 
 
+class PlaneObs(NamedTuple):
+    """Plane edges for pose optimization (reference: EdgePlaneOnlyPose,
+    EdgeParallelPlaneOnlyPose, EdgeVerticalPlaneOnlyPose in g2oAddition/,
+    built by PoseOptimization, src/Optimizer.cc:900-1000).
+
+    kind: 0 full (az, el, d), 1 parallel, 2 vertical. weight carries the
+    per-component information (angle_info, angle_info, distance_info) for
+    full edges / (parallel|vertical_info, 0, 0) for constraint edges.
+    """
+
+    pi_w: jnp.ndarray  # (P, 4) map plane, world, unit normal
+    pi_obs: jnp.ndarray  # (P, 4) observed plane, camera frame
+    kind: jnp.ndarray  # (P,) int32
+    weight: jnp.ndarray  # (P, 3)
+    chi2_th: jnp.ndarray  # (P,) gate (Plane.Chi / Plane.VPChi)
+    valid: jnp.ndarray  # (P,)
+
+
 class PoseOptResult(NamedTuple):
     T_cw: jnp.ndarray  # (4, 4)
     inlier: jnp.ndarray  # (N,) bool point-edge inliers after gating
     line_inlier: jnp.ndarray  # (M,) bool
+    plane_inlier: jnp.ndarray  # (P,) bool
     n_inliers: jnp.ndarray  # scalar int32
     chi2: jnp.ndarray  # scalar total inlier chi2
 
@@ -60,6 +79,17 @@ def _empty_line_obs(dtype=jnp.float32) -> LineObs:
         X_w=jnp.zeros((1, 3), dtype),
         line2d=jnp.zeros((1, 3), dtype),
         inv_sigma2=jnp.zeros((1,), dtype),
+        valid=jnp.zeros((1,), bool),
+    )
+
+
+def _empty_plane_obs(dtype=jnp.float32) -> PlaneObs:
+    return PlaneObs(
+        pi_w=jnp.concatenate([jnp.ones((1, 1), dtype), jnp.zeros((1, 3), dtype)], axis=1),
+        pi_obs=jnp.concatenate([jnp.ones((1, 1), dtype), jnp.zeros((1, 3), dtype)], axis=1),
+        kind=jnp.zeros((1,), jnp.int32),
+        weight=jnp.zeros((1, 3), dtype),
+        chi2_th=jnp.ones((1,), dtype),
         valid=jnp.zeros((1,), bool),
     )
 
@@ -83,6 +113,12 @@ def _line_terms(T, lines: LineObs, intr):
     return r, J, chi2, ok_depth
 
 
+def _plane_terms(T, pl: PlaneObs):
+    r, J, comp = residuals.plane_edge_terms(T, pl.pi_w, pl.pi_obs, pl.kind)
+    chi2 = jnp.sum(r * r * comp * pl.weight, axis=-1)
+    return r, J, comp, chi2
+
+
 from functools import partial
 
 
@@ -95,6 +131,7 @@ def pose_optimization(
     pts: PoseObs,
     intr: Intrinsics,
     lines: LineObs | None = None,
+    planes: PlaneObs | None = None,
     n_rounds: int = 4,
     n_iters: int = 10,
     chi2_mono: float = 5.991,
@@ -109,12 +146,15 @@ def pose_optimization(
     """
     if lines is None:
         lines = _empty_line_obs(T_cw0.dtype)
+    if planes is None:
+        planes = _empty_plane_obs(T_cw0.dtype)
 
     th_pt = jnp.where(pts.is_stereo, chi2_stereo, chi2_mono)
     delta_pt = jnp.sqrt(th_pt)
     delta_ln = jnp.sqrt(jnp.asarray(chi2_line, T_cw0.dtype))
+    delta_pl = jnp.sqrt(planes.chi2_th)
 
-    def build_normal_eqs(T, pt_inlier, ln_inlier, robust):
+    def build_normal_eqs(T, pt_inlier, ln_inlier, pl_inlier, robust):
         r, J, comp, chi2, okd = _point_terms(T, pts, intr)
         active = pts.valid & pt_inlier & okd
         w = jnp.where(active, pts.inv_sigma2, 0.0)
@@ -135,24 +175,37 @@ def pose_optimization(
         H = H + jnp.einsum("nki,n,nkj->ij", Jl, wl, Jl)
         g = g + jnp.einsum("nki,nk->i", Jl, wl[:, None] * rl)
         total = total + jnp.sum(jnp.where(activel, chi2l, 0.0))
+
+        rp, Jp, compp, chi2p = _plane_terms(T, planes)
+        activep = planes.valid & pl_inlier
+        wp = jnp.where(activep[:, None], planes.weight * compp, 0.0)  # (P, 3)
+        if robust:
+            scalep = jnp.minimum(1.0, delta_pl / jnp.sqrt(jnp.maximum(chi2p, 1e-12)))
+            wp = wp * scalep[:, None]
+        H = H + jnp.einsum("nki,nk,nkj->ij", Jp, wp, Jp)
+        g = g + jnp.einsum("nki,nk->i", Jp, wp * rp)
+        total = total + jnp.sum(jnp.where(activep, chi2p, 0.0))
         return H, g, total
 
-    def eval_chi2(T, pt_inlier, ln_inlier):
+    def eval_chi2(T, pt_inlier, ln_inlier, pl_inlier):
         _, _, _, chi2, okd = _point_terms(T, pts, intr)
         active = pts.valid & pt_inlier & okd
         t1 = jnp.sum(jnp.where(active, chi2, 0.0))
         _, _, chi2l, okdl = _line_terms(T, lines, intr)
         activel = lines.valid & ln_inlier & okdl
-        return t1 + jnp.sum(jnp.where(activel, chi2l, 0.0))
+        t1 = t1 + jnp.sum(jnp.where(activel, chi2l, 0.0))
+        *_, chi2p = _plane_terms(T, planes)
+        activep = planes.valid & pl_inlier
+        return t1 + jnp.sum(jnp.where(activep, chi2p, 0.0))
 
-    def lm_round(T, pt_inlier, ln_inlier, robust):
+    def lm_round(T, pt_inlier, ln_inlier, pl_inlier, robust):
         def body(_, carry):
             T, lam = carry
-            H, g, chi2_cur = build_normal_eqs(T, pt_inlier, ln_inlier, robust)
+            H, g, chi2_cur = build_normal_eqs(T, pt_inlier, ln_inlier, pl_inlier, robust)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
             delta = -jnp.linalg.solve(Hd, g)
             T_new = se3.exp_se3(delta) @ T
-            chi2_new = eval_chi2(T_new, pt_inlier, ln_inlier)
+            chi2_new = eval_chi2(T_new, pt_inlier, ln_inlier, pl_inlier)
             accept = (chi2_new < chi2_cur) & jnp.all(jnp.isfinite(T_new))
             T = jnp.where(accept, T_new, T)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e4))
@@ -164,17 +217,21 @@ def pose_optimization(
     T = T_cw0
     pt_inlier = jnp.ones_like(pts.valid)
     ln_inlier = jnp.ones_like(lines.valid)
+    pl_inlier = jnp.ones_like(planes.valid)
     for rnd in range(n_rounds):
-        T = lm_round(T, pt_inlier, ln_inlier, robust=rnd < 2)
+        T = lm_round(T, pt_inlier, ln_inlier, pl_inlier, robust=rnd < 2)
         # Re-classify: outliers with chi2 back under threshold recover
         # (reference: Optimizer.cc:1216-1246 e->setLevel(0/1) per round).
         _, _, _, chi2, okd = _point_terms(T, pts, intr)
         pt_inlier = (chi2 <= th_pt) & okd
         _, _, chi2l, okdl = _line_terms(T, lines, intr)
         ln_inlier = (chi2l <= chi2_line) & okdl
+        *_, chi2p = _plane_terms(T, planes)
+        pl_inlier = chi2p <= planes.chi2_th
 
     pt_inlier = pt_inlier & pts.valid
     ln_inlier = ln_inlier & lines.valid
+    pl_inlier = pl_inlier & planes.valid
     n_in = jnp.sum(pt_inlier.astype(jnp.int32))
-    chi2_final = eval_chi2(T, pt_inlier, ln_inlier)
-    return PoseOptResult(T, pt_inlier, ln_inlier, n_in, chi2_final)
+    chi2_final = eval_chi2(T, pt_inlier, ln_inlier, pl_inlier)
+    return PoseOptResult(T, pt_inlier, ln_inlier, pl_inlier, n_in, chi2_final)

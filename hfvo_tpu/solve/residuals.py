@@ -133,6 +133,79 @@ def plane_residual(
     return pi_c, J
 
 
+def plane_edge_terms(
+    T_cw: jnp.ndarray,
+    pi_w: jnp.ndarray,  # (N, 4) map planes (world, unit normal)
+    pi_obs: jnp.ndarray,  # (N, 4) observed planes (camera frame)
+    kind: jnp.ndarray,  # (N,) 0=full (az,el,d), 1=parallel, 2=vertical
+):
+    """Residuals + Jacobians for the plane edge taxonomy.
+
+    kind 0: minimal 3-DoF (azimuth, elevation, distance) error like
+    `Plane3D::ominus` (reference: g2oAddition/Plane3D.h:99-113; EdgePlane).
+    kind 1: parallel-plane constraint |n_obs x n_pred| -> 0
+    (EdgeParallelPlane). kind 2: vertical-plane constraint
+    n_obs . n_pred -> 0 (EdgeVerticalPlane). Returns (r (N, 3), J (N, 3, 6),
+    comp (N, 3) active-component mask).
+    """
+    pi_c, J_pi = plane_residual(T_cw, pi_w)  # (N, 4), (N, 4, 6)
+    n = pi_c[..., :3]
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    rho2 = nx * nx + ny * ny
+    rho = jnp.sqrt(jnp.maximum(rho2, 1e-12))
+
+    # --- kind 0: full minimal error ------------------------------------
+    r_full = plane_minimal_error(pi_obs, pi_c)  # (N, 3)
+    daz_dn = jnp.stack(
+        [-ny / jnp.maximum(rho2, 1e-12), nx / jnp.maximum(rho2, 1e-12), jnp.zeros_like(nx)],
+        axis=-1,
+    )
+    del_dn = jnp.stack([-nx * nz / rho, -ny * nz / rho, rho], axis=-1)
+    Jn = J_pi[..., :3, :]  # (N, 3, 6)
+    Jd = J_pi[..., 3, :]  # (N, 6)
+    J_az = -jnp.einsum("ni,nij->nj", daz_dn, Jn)
+    J_el = -jnp.einsum("ni,nij->nj", del_dn, Jn)
+    J_d = -Jd
+    J_full = jnp.stack([J_az, J_el, J_d], axis=-2)  # (N, 3, 6)
+
+    # --- kind 1: parallel |n_obs x n_pred| ------------------------------
+    n_obs = pi_obs[..., :3]
+    cx = jnp.cross(n_obs, n)
+    r_par = jnp.linalg.norm(cx, axis=-1)
+    # d r / d n = (hat(n_obs) n)^T hat(n_obs) / r
+    hat_obs = se3.hat(n_obs)
+    dr_dn = jnp.einsum("ni,nij->nj", cx, hat_obs) / jnp.maximum(r_par, 1e-9)[..., None]
+    J_par = jnp.einsum("ni,nij->nj", dr_dn, Jn)
+
+    # --- kind 2: vertical n_obs . n_pred --------------------------------
+    r_vert = jnp.sum(n_obs * n, axis=-1)
+    J_vert = jnp.einsum("ni,nij->nj", n_obs, Jn)
+
+    is_full = (kind == 0)[..., None]
+    is_par = (kind == 1)[..., None]
+    r = jnp.where(
+        is_full,
+        r_full,
+        jnp.concatenate(
+            [jnp.where(is_par, r_par[..., None], r_vert[..., None]),
+             jnp.zeros_like(r_full[..., :2])],
+            axis=-1,
+        ),
+    )
+    J1 = jnp.where(is_par, J_par, J_vert)
+    J = jnp.where(
+        is_full[..., None],
+        J_full,
+        jnp.concatenate([J1[..., None, :], jnp.zeros_like(J_full[..., :2, :])], axis=-2),
+    )
+    comp = jnp.where(
+        is_full, jnp.ones_like(r_full), jnp.concatenate(
+            [jnp.ones_like(r_full[..., :1]), jnp.zeros_like(r_full[..., :2])], axis=-1
+        )
+    )
+    return r, J, comp
+
+
 def plane_minimal_error(pi_obs: jnp.ndarray, pi_pred: jnp.ndarray) -> jnp.ndarray:
     """3-DoF plane error (d_azimuth, d_elevation, d_distance).
 

@@ -157,6 +157,64 @@ def search_lines_by_projection(
     return ProjMatchResult(per_f, n, vis)
 
 
+class PlaneMatchResult(NamedTuple):
+    map_idx: jnp.ndarray  # (P,) matched/constraint map-plane row (-1 none)
+    kind: jnp.ndarray  # (P,) 0 full, 1 parallel, 2 vertical, -1 none
+    n_matches: jnp.ndarray  # scalar int32 (full associations only)
+
+
+@partial(jax.jit, static_argnames=("ang_ref", "dis_ref", "vert_sin", "par_cos"))
+def match_planes(
+    mp_pi_w: jnp.ndarray,  # (Q, 4) map planes (world)
+    mp_valid: jnp.ndarray,  # (Q,)
+    obs_pi: jnp.ndarray,  # (P, 4) observed planes (camera frame)
+    obs_centroid: jnp.ndarray,  # (P, 3) camera frame
+    obs_valid: jnp.ndarray,  # (P,)
+    T_cw: jnp.ndarray,
+    ang_ref: float = 0.2618,  # ~15 deg (Plane.AssociationAngRef)
+    dis_ref: float = 0.15,  # Plane.AssociationDisRef
+    vert_sin: float = 0.0872,  # ~5 deg around perpendicular
+    par_cos: float = 0.9962,  # ~5 deg around parallel
+) -> PlaneMatchResult:
+    """Associate observed planes to map planes + tag parallel/vertical
+    constraint pairs (reference: PlaneMatcher::SearchMapByCoefficients,
+    src/PlaneMatcher.cpp:10-70)."""
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    n_pred = mp_pi_w[:, :3] @ R.T  # (Q, 3) in camera frame
+    d_pred = mp_pi_w[:, 3] - n_pred @ t
+
+    dot = obs_pi[:, :3] @ n_pred.T  # (P, Q)
+    # Point-to-plane: observed centroid against predicted map plane.
+    dist = jnp.abs(obs_centroid @ n_pred.T + d_pred[None, :])  # (P, Q)
+    both = obs_valid[:, None] & mp_valid[None, :]
+
+    full_ok = both & (dot > jnp.cos(ang_ref)) & (dist < dis_ref)
+    score_full = jnp.where(full_ok, dot, -2.0)
+    best_full = jnp.argmax(score_full, axis=1)
+    has_full = jnp.max(score_full, axis=1) > -1.0
+
+    adot = jnp.abs(dot)
+    par_ok = both & (adot > par_cos)
+    score_par = jnp.where(par_ok, adot, -2.0)
+    best_par = jnp.argmax(score_par, axis=1)
+    has_par = jnp.max(score_par, axis=1) > -1.0
+
+    vert_ok = both & (adot < vert_sin)
+    score_vert = jnp.where(vert_ok, -adot, -2.0)
+    best_vert = jnp.argmax(score_vert, axis=1)
+    has_vert = jnp.max(score_vert, axis=1) > -1.0
+
+    kind = jnp.where(
+        has_full, 0, jnp.where(has_par, 1, jnp.where(has_vert, 2, -1))
+    ).astype(jnp.int32)
+    map_idx = jnp.where(
+        has_full, best_full, jnp.where(has_par, best_par, jnp.where(has_vert, best_vert, -1))
+    ).astype(jnp.int32)
+    n = jnp.sum(has_full.astype(jnp.int32))
+    return PlaneMatchResult(map_idx, kind, n)
+
+
 @partial(jax.jit, static_argnames=("max_hamming", "ratio"))
 def match_descriptors_mutual(
     desc_a: jnp.ndarray,

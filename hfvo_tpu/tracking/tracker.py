@@ -25,7 +25,8 @@ from ..geometry import se3
 from ..mapping.local_mapping import LocalMapper
 from ..ops import lines as line_ops
 from ..ops import lines3d as line3d_ops
-from ..solve.lm import LineObs, PoseObs, pose_optimization
+from ..ops import planes as plane_ops
+from ..solve.lm import LineObs, PlaneObs, PoseObs, pose_optimization
 from ..vomap.map import VOMap
 from . import matcher
 from .frontend import FrameFeatures, extract_frame, extract_frame_jit
@@ -50,6 +51,8 @@ def fused_track_step(
     ml_X1: jnp.ndarray,
     ml_desc: jnp.ndarray,
     ml_valid: jnp.ndarray,
+    mp_pi: jnp.ndarray,  # (Lp, 4) map-plane snapshot
+    mp_valid: jnp.ndarray,
     T_pred: jnp.ndarray,
     radius: float = 15.0,
     check_octave: bool = True,
@@ -106,8 +109,40 @@ def fused_track_step(
         lres = None
         lobs = None
 
+    if cfg.use_planes:
+        seg = plane_ops.segment_planes(
+            depth, cfg.camera, max_planes=cfg.cap.planes
+        )
+        pres = matcher.match_planes(
+            mp_pi, mp_valid, seg.planes, seg.centroids, seg.valid, T_pred,
+            ang_ref=cfg.planes.association_ang_ref,
+            dis_ref=cfg.planes.association_dis_ref,
+        )
+        psafe = jnp.maximum(pres.map_idx, 0)
+        kind = jnp.maximum(pres.kind, 0)
+        w_full = jnp.array(
+            [cfg.planes.angle_info, cfg.planes.angle_info, cfg.planes.distance_info]
+        )
+        w_par = jnp.array([cfg.planes.parallel_info, 0.0, 0.0])
+        w_vert = jnp.array([cfg.planes.vertical_info, 0.0, 0.0])
+        weight = jnp.where(
+            (kind == 0)[:, None], w_full[None, :],
+            jnp.where((kind == 1)[:, None], w_par[None, :], w_vert[None, :]),
+        )
+        chi2_th = jnp.where(kind == 0, cfg.planes.chi, cfg.planes.vp_chi)
+        pobs = PlaneObs(
+            pi_w=mp_pi[psafe],
+            pi_obs=seg.planes,
+            kind=kind,
+            weight=weight,
+            chi2_th=chi2_th,
+            valid=seg.valid & (pres.kind >= 0),
+        )
+    else:
+        seg = pres = pobs = None
+
     opt = pose_optimization(
-        T_pred, pts, cfg.camera, lines=lobs,
+        T_pred, pts, cfg.camera, lines=lobs, planes=pobs,
         chi2_mono=cfg.tracking.chi2_mono,
         chi2_stereo=cfg.tracking.chi2_stereo,
         chi2_line=cfg.tracking.chi2_line,
@@ -117,7 +152,13 @@ def fused_track_step(
         M = ln_local.shape[0]
         ln_inlier = opt.line_inlier[:M] & opt.line_inlier[M:]
         line_out = (lf, l3d, ln_local, ln_inlier, lres.visible)
-    return opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats, line_out
+    plane_out = None
+    if cfg.use_planes:
+        plane_out = (seg, pres.map_idx, pres.kind, opt.plane_inlier)
+    return (
+        opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats,
+        line_out, plane_out,
+    )
 
 
 @dataclass
@@ -148,6 +189,7 @@ class Tracker:
         self.velocity = np.eye(4, dtype=np.float32)
         self._snap = None
         self._last_line_out = None
+        self._last_plane_out = None
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
@@ -248,6 +290,12 @@ class Tracker:
             self._last_line_out = (
                 lf, l3d, np.full((self.cfg.cap.lines,), -1, np.int32)
             )
+        if self.cfg.use_planes:
+            seg = plane_ops.segment_planes(
+                depth, self.cfg.camera, max_planes=self.cfg.cap.planes
+            )
+            none = np.full((self.cfg.cap.planes,), -1, np.int32)
+            self._last_plane_out = (seg, none, none.copy(), np.zeros_like(none, bool))
         self._create_keyframe(feats, pt_per_kp)
         self.state = TrackState.OK
         self.last_kf_frame = self.frame_id
@@ -273,6 +321,7 @@ class Tracker:
         lpad[: len(lids)] = lids
         lsafe = np.maximum(lpad, 0)
         t = self.vomap.lines
+        mp = self.vomap.planes
         self._snap = (
             jnp.asarray(p.X_w[safe]),
             jnp.asarray(p.desc[safe]),
@@ -282,6 +331,8 @@ class Tracker:
             jnp.asarray(t.X1_w[lsafe]),
             jnp.asarray(t.desc[lsafe]),
             jnp.asarray((lpad >= 0) & t.valid[lsafe]),
+            jnp.asarray(mp.pi_w),  # plane table is small: global slots direct
+            jnp.asarray(mp.valid),
             pad,
             lpad,
         )
@@ -298,16 +349,17 @@ class Tracker:
         """Project local map into the predicted view, match, optimize pose
         (reference: TrackWithMotionModel + TrackLocalMapWithLines,
         src/Tracking.cc:2251, :2816) — all in one fused device call."""
-        mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, pad, lpad = (
+        mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad = (
             self._local_map_snapshot()
         )
-        T_new_d, inlier_d, n_in_d, pt_local_d, visible_d, feats, line_out = (
-            fused_track_step(
-                self.cfg, gray, depth, mX, mdesc, mvalid, moct,
-                lX0, lX1, ldesc, lvalid,
-                jnp.asarray(T_pred.astype(np.float32)),
-                radius=radius, check_octave=check_octave,
-            )
+        (
+            T_new_d, inlier_d, n_in_d, pt_local_d, visible_d, feats,
+            line_out, plane_out,
+        ) = fused_track_step(
+            self.cfg, gray, depth, mX, mdesc, mvalid, moct,
+            lX0, lX1, ldesc, lvalid, mppi, mpvalid,
+            jnp.asarray(T_pred.astype(np.float32)),
+            radius=radius, check_octave=check_octave,
         )
         # Single synchronization point for the frame.
         T_new, inlier, n_in, pt_local, visible = jax.device_get(
@@ -339,6 +391,17 @@ class Tracker:
             self.vomap.lines.last_seen_frame[lfound] = self.frame_id
             ln_per_seg = np.where(lmatched & ln_inlier, ln_per_seg, -1).astype(np.int32)
             self._last_line_out = (lf, l3d, ln_per_seg)
+
+        self._last_plane_out = None
+        if plane_out is not None:
+            seg, p_map_idx_d, p_kind_d, p_inlier_d = plane_out
+            p_map_idx, p_kind, p_inlier = jax.device_get(
+                (p_map_idx_d, p_kind_d, p_inlier_d)
+            )
+            self.vomap.planes.last_seen_frame[
+                p_map_idx[(p_kind == 0) & p_inlier]
+            ] = self.frame_id
+            self._last_plane_out = (seg, p_map_idx, p_kind, p_inlier)
 
         ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
         return ok, T_new.astype(np.float32), pt_per_kp, n_in, feats
@@ -417,6 +480,36 @@ class Tracker:
                 kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid
             )
             self.vomap.cull_lines(self.frame_id)
+
+        if self.cfg.use_planes and self._last_plane_out is not None:
+            seg, p_map_idx, p_kind, p_inlier = self._last_plane_out
+            pvalid = np.asarray(seg.valid)
+            pi_obs = np.asarray(seg.planes)
+            cent_c = np.asarray(seg.centroids)
+            counts = np.asarray(seg.counts)
+            plane_id = np.where(
+                pvalid & (p_kind == 0) & p_inlier, p_map_idx, -1
+            ).astype(np.int32)
+            new_mask = pvalid & (plane_id < 0) & (p_kind != 1) & (p_kind != 2)
+            pidx = np.nonzero(new_mask)[0]
+            if len(pidx):
+                # Transform observation to world: n_w = R_wc n_c,
+                # d_w = d_c + n_c . t_cw  (from n_c^T(R X_w + t) + d_c = 0).
+                R_cw = self.T_cw[:3, :3]
+                t_cw = self.T_cw[:3, 3]
+                n_w = pi_obs[pidx, :3] @ R_cw
+                d_w = pi_obs[pidx, 3] + pi_obs[pidx, :3] @ t_cw
+                pi_w = np.concatenate([n_w, d_w[:, None]], axis=1).astype(np.float32)
+                T_wc = np.linalg.inv(self.T_cw)
+                c_w = (T_wc[:3, :3] @ cent_c[pidx].T).T + T_wc[:3, 3]
+                pids = self.vomap.add_planes(
+                    pi_w, c_w.astype(np.float32), counts[pidx], self.frame_id
+                )
+                created = pids >= 0
+                plane_id[pidx[created]] = pids[created]
+            p_obs_valid = pvalid & (plane_id >= 0)
+            self.vomap.add_kf_plane_obs(kf_slot, plane_id, pi_obs, p_obs_valid)
+            self.vomap.merge_planes()
 
         self.last_kf_frame = self.frame_id
         self.n_matches_ref_kf = int(obs_valid.sum())

@@ -114,6 +114,49 @@ class KeyFrameTable:
 
 
 @dataclass
+class PlaneTable:
+    """Map planes — Hessian-form landmarks (reference: src/MapPlane.cc:
+    4-vector coefficients + a merged point cloud; here the cloud is the
+    running centroid + support count, sufficient for association and the
+    distance residual)."""
+
+    pi_w: np.ndarray  # (N, 4) unit normal + d (n.X + d = 0)
+    centroid_w: np.ndarray  # (N, 3)
+    count: np.ndarray  # (N,) supporting pixels
+    valid: np.ndarray  # (N,)
+    n_obs: np.ndarray  # (N,)
+    last_seen_frame: np.ndarray  # (N,)
+
+    @staticmethod
+    def empty(n: int) -> "PlaneTable":
+        return PlaneTable(
+            pi_w=np.zeros((n, 4), np.float32),
+            centroid_w=np.zeros((n, 3), np.float32),
+            count=np.zeros((n,), np.float32),
+            valid=np.zeros((n,), bool),
+            n_obs=np.zeros((n,), np.int32),
+            last_seen_frame=np.full((n,), -1, np.int32),
+        )
+
+
+@dataclass
+class KeyFramePlaneTable:
+    """Per-keyframe plane observations."""
+
+    plane_id: np.ndarray  # (K, C) int32
+    pi_obs: np.ndarray  # (K, C, 4) camera-frame observation
+    obs_valid: np.ndarray  # (K, C)
+
+    @staticmethod
+    def empty(k: int, c: int) -> "KeyFramePlaneTable":
+        return KeyFramePlaneTable(
+            plane_id=np.full((k, c), -1, np.int32),
+            pi_obs=np.zeros((k, c, 4), np.float32),
+            obs_valid=np.zeros((k, c), bool),
+        )
+
+
+@dataclass
 class KeyFrameLineTable:
     """Per-keyframe line observations: which map line each detected segment
     observes, plus the observed 2D infinite line for BA edges."""
@@ -138,8 +181,10 @@ class VOMap:
     cfg: VOConfig
     points: PointTable = field(init=False)
     lines: "LineTable" = field(init=False)
+    planes: "PlaneTable" = field(init=False)
     keyframes: KeyFrameTable = field(init=False)
     kf_lines: "KeyFrameLineTable" = field(init=False)
+    kf_planes: "KeyFramePlaneTable" = field(init=False)
     next_point_slot: int = 0
     next_kf_slot: int = 0
 
@@ -147,9 +192,12 @@ class VOMap:
         cap = self.cfg.cap
         self.points = PointTable.empty(cap.map_points)
         self.lines = LineTable.empty(cap.map_lines, 4 * 9)  # DESC_BANDS * 4
+        self.planes = PlaneTable.empty(cap.map_planes)
         self.keyframes = KeyFrameTable.empty(cap.keyframes, cap.keypoints)
         self.kf_lines = KeyFrameLineTable.empty(cap.keyframes, cap.lines)
+        self.kf_planes = KeyFramePlaneTable.empty(cap.keyframes, cap.planes)
         self.next_line_slot = 0
+        self.next_plane_slot = 0
 
     # ---- keyframes -------------------------------------------------------
 
@@ -271,6 +319,70 @@ class VOMap:
         ids = np.unique(lid[ok])
         ids = ids[self.lines.valid[ids]]
         return ids[-cap:]
+
+    # ---- planes ----------------------------------------------------------
+
+    def add_planes(
+        self, pi_w: np.ndarray, centroid_w: np.ndarray, count: np.ndarray, frame_id: int
+    ) -> np.ndarray:
+        n = len(pi_w)
+        free = np.nonzero(~self.planes.valid)[0]
+        ids = np.full((n,), -1, np.int64)
+        take = min(n, len(free))
+        slots = free[:take]
+        ids[:take] = slots
+        t = self.planes
+        t.pi_w[slots] = pi_w[:take]
+        t.centroid_w[slots] = centroid_w[:take]
+        t.count[slots] = count[:take]
+        t.valid[slots] = True
+        t.n_obs[slots] = 0
+        t.last_seen_frame[slots] = frame_id
+        return ids
+
+    def add_kf_plane_obs(
+        self, kf_slot: int, plane_id: np.ndarray, pi_obs: np.ndarray, obs_valid: np.ndarray
+    ) -> None:
+        kp = self.kf_planes
+        kp.plane_id[kf_slot] = plane_id
+        kp.pi_obs[kf_slot] = pi_obs
+        kp.obs_valid[kf_slot] = obs_valid
+        ids = plane_id[obs_valid & (plane_id >= 0)]
+        np.add.at(self.planes.n_obs, ids, 1)
+
+    def merge_planes(self, ang_th: float = 0.985, dist_th: float = 0.10) -> int:
+        """Merge coplanar map planes (reference: MapPlaneCulling merge by
+        angle + distance then Replace, src/LocalMapping.cc:2004)."""
+        t = self.planes
+        ids = np.nonzero(t.valid)[0]
+        merged = 0
+        for i_pos, i in enumerate(ids):
+            if not t.valid[i]:
+                continue
+            for j in ids[i_pos + 1 :]:
+                if not t.valid[j]:
+                    continue
+                dot = abs(t.pi_w[i, :3] @ t.pi_w[j, :3])
+                d = abs(t.pi_w[i, :3] @ t.centroid_w[j] + t.pi_w[i, 3])
+                if dot > ang_th and d < dist_th:
+                    # Weighted merge into i; j replaced.
+                    wi, wj = t.count[i], t.count[j]
+                    n = t.pi_w[i, :3] * wi + t.pi_w[j, :3] * np.sign(
+                        t.pi_w[i, :3] @ t.pi_w[j, :3]
+                    ) * wj
+                    n /= np.linalg.norm(n) + 1e-9
+                    c = (t.centroid_w[i] * wi + t.centroid_w[j] * wj) / (wi + wj)
+                    t.pi_w[i, :3] = n
+                    t.pi_w[i, 3] = -n @ c
+                    t.centroid_w[i] = c
+                    t.count[i] = wi + wj
+                    t.n_obs[i] += t.n_obs[j]
+                    t.valid[j] = False
+                    # Re-point keyframe observations at the survivor.
+                    sel = self.kf_planes.plane_id == j
+                    self.kf_planes.plane_id[sel] = i
+                    merged += 1
+        return merged
 
     def cull_points(self, current_frame: int) -> int:
         """Drop low-quality points (reference: LocalMapping::MapPointCulling,

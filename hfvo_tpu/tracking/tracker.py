@@ -25,6 +25,7 @@ from ..geometry import se3
 from ..mapping.local_mapping import LocalMapper
 from ..ops import lines as line_ops
 from ..ops import lines3d as line3d_ops
+from ..ops import manhattan as manh_ops
 from ..ops import planes as plane_ops
 from ..solve.lm import LineObs, PlaneObs, PoseObs, pose_optimization
 from ..vomap.map import VOMap
@@ -53,6 +54,8 @@ def fused_track_step(
     ml_valid: jnp.ndarray,
     mp_pi: jnp.ndarray,  # (Lp, 4) map-plane snapshot
     mp_valid: jnp.ndarray,
+    R_wm: jnp.ndarray,  # (3, 3) world Manhattan rotation (columns = axes)
+    manh_valid: jnp.ndarray,  # () bool — Manhattan frame initialized
     T_pred: jnp.ndarray,
     radius: float = 15.0,
     check_octave: bool = True,
@@ -62,6 +65,26 @@ def fused_track_step(
     single dispatch and a single host pull per frame (the reference spreads
     this over 4+ CPU threads and many locks; here XLA schedules it on-chip).
     """
+    if cfg.use_manhattan:
+        # Manhattan rotation prior (reference: TrackManhattanFrame before
+        # motion-model tracking, src/Tracking.cc:706): mean-shift the
+        # predicted R_cm against the frame's surface normals, and replace the
+        # predicted rotation when the axes are well supported.
+        normals, n_ok = plane_ops.compute_normals(depth, cfg.camera, stride=8)
+        R_cm_pred = T_pred[:3, :3] @ R_wm
+        R_cm_ref, sup = manh_ops.refine_axes(
+            R_cm_pred, normals, n_ok.astype(jnp.float32),
+            cone=cfg.manhattan.normal_cone,
+            kernel=cfg.manhattan.meanshift_kernel,
+        )
+        enough = manh_valid & (jnp.sum((sup > 30).astype(jnp.int32)) >= 2)
+        R_prior = R_cm_ref @ R_wm.T
+        T_pred = jnp.where(
+            enough,
+            T_pred.at[:3, :3].set(R_prior),
+            T_pred,
+        )
+
     feats = extract_frame(gray, depth, cfg)
     L = map_X.shape[0]
     res = matcher.search_by_projection(
@@ -190,6 +213,10 @@ class Tracker:
         self._snap = None
         self._last_line_out = None
         self._last_plane_out = None
+        # World Manhattan rotation (columns = axes) once initialized
+        # (reference: Map::SetWorldManhAxis, src/Map.cc:144).
+        self.R_wm = np.eye(3, dtype=np.float32)
+        self.manh_valid = False
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
@@ -229,6 +256,8 @@ class Tracker:
             self.T_cw = T_new.astype(np.float32)
             self.state = TrackState.OK
             if self._need_new_keyframe(n_matches):
+                if self.cfg.use_manhattan and not self.manh_valid:
+                    self._try_coarse_manhattan(depth)
                 self._create_keyframe(feats, pt_per_kp)
                 is_kf = True
                 if self.use_local_ba:
@@ -296,6 +325,8 @@ class Tracker:
             )
             none = np.full((self.cfg.cap.planes,), -1, np.int32)
             self._last_plane_out = (seg, none, none.copy(), np.zeros_like(none, bool))
+        if self.cfg.use_manhattan:
+            self._try_coarse_manhattan(depth)
         self._create_keyframe(feats, pt_per_kp)
         self.state = TrackState.OK
         self.last_kf_frame = self.frame_id
@@ -358,6 +389,7 @@ class Tracker:
         ) = fused_track_step(
             self.cfg, gray, depth, mX, mdesc, mvalid, moct,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
+            jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
             jnp.asarray(T_pred.astype(np.float32)),
             radius=radius, check_octave=check_octave,
         )
@@ -405,6 +437,34 @@ class Tracker:
 
         ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
         return ok, T_new.astype(np.float32), pt_per_kp, n_in, feats
+
+    def _try_coarse_manhattan(self, depth: jnp.ndarray) -> None:
+        """One-shot world Manhattan axes from the frame's normals (+ line
+        directions when available) (reference: Tracking::ExtractCoarseManhAx,
+        src/Tracking.cc:533-585; retried per frame until success :644-650)."""
+        normals, ok = plane_ops.compute_normals(depth, self.cfg.camera, stride=8)
+        d = np.asarray(normals)[np.asarray(ok)]
+        if self._last_line_out is not None:
+            lf, l3d, _ = self._last_line_out
+            v3 = np.asarray(l3d.valid)
+            if v3.any():
+                ld = np.asarray(l3d.X1_c)[v3] - np.asarray(l3d.X0_c)[v3]
+                ld /= np.linalg.norm(ld, axis=1, keepdims=True) + 1e-9
+                d = np.concatenate([d, ld.astype(d.dtype)])
+        if len(d) < 100:
+            return
+        sub = d[:: max(len(d) // 1500, 1)].astype(np.float32)
+        rng = np.random.RandomState(self.frame_id + 1)
+        idx = rng.randint(0, len(sub), size=(24, 2))
+        R_cm, rate = manh_ops.coarse_manhattan_init(
+            jnp.asarray(sub), jnp.ones((len(sub),), jnp.float32),
+            jnp.asarray(sub[idx]),
+            cone=self.cfg.manhattan.normal_cone,
+        )
+        if float(rate) > self.cfg.manhattan.coarse_success_rate:
+            R_wc = np.linalg.inv(self.T_cw)[:3, :3]
+            self.R_wm = (R_wc @ np.asarray(R_cm)).astype(np.float32)
+            self.manh_valid = True
 
     def _need_new_keyframe(self, n_matches: int) -> bool:
         """(reference: Tracking::NeedNewKeyFrame, src/Tracking.cc:2923 —
@@ -475,6 +535,18 @@ class Tracker:
                 )
                 created = lids >= 0
                 ln_per_seg[lidx[created]] = lids[created]
+                if self.manh_valid and created.any():
+                    # Tag new lines with their Manhattan axis (reference:
+                    # Manhattan::LineManhAxisCorresp, src/Manhattan.cpp:1139).
+                    dw = X1w[created] - X0w[created]
+                    dw /= np.linalg.norm(dw, axis=1, keepdims=True) + 1e-9
+                    cosang = np.abs(dw @ self.R_wm)  # (n, 3)
+                    best = cosang.argmax(axis=1)
+                    ok_ax = cosang.max(axis=1) > np.cos(
+                        self.cfg.manhattan.line_cone
+                    )
+                    midx = np.where(ok_ax, best, -1).astype(np.int32)
+                    self.vomap.lines.manh_idx[lids[created]] = midx
             l_obs_valid = lvalid & (ln_per_seg >= 0)
             self.vomap.add_kf_line_obs(
                 kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid

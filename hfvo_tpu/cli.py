@@ -1,0 +1,75 @@
+"""CLI driver for TUM/ICL RGB-D sequences.
+
+Equivalent of the reference's `rgbd_tum` example (reference:
+Examples/RGB-D/rgbd_tum.cc:37-207): load the association file, feed frames
+to the system, print the mean tracking time at exit, save the trajectory.
+
+Usage:
+    python -m hfvo_tpu.cli SETTINGS_YAML SEQUENCE_DIR ASSOCIATION_FILE \
+        [--out traj.txt] [--kf-out kf_traj.txt] [--ply map.ply] [--max-frames N]
+
+(The reference also takes a vocabulary blob; relocalization here uses the
+in-map descriptor index, so no vocabulary file is needed.)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("settings", help="settings YAML (reference format)")
+    ap.add_argument("sequence", help="sequence directory")
+    ap.add_argument("association", help="association file")
+    ap.add_argument("--out", default="CameraTrajectory.txt")
+    ap.add_argument("--kf-out", default=None)
+    ap.add_argument("--ply", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--no-ba", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass
+
+    from .io import tum
+    from .system import VOSystem
+
+    system = VOSystem(settings_yaml=args.settings, use_local_ba=not args.no_ba)
+    factor = system.cfg.tracking.depth_map_factor
+
+    n = 0
+    t_start = time.perf_counter()
+    for ts, gray, depth in tum.iterate_sequence(
+        args.sequence, args.association, factor
+    ):
+        res = system.track_rgbd(gray, depth, ts)
+        n += 1
+        if n % 50 == 0:
+            print(f"frame {n}: state={res.state.name} matches={res.n_matches}")
+        if args.max_frames and n >= args.max_frames:
+            break
+    wall = time.perf_counter() - t_start
+
+    system.shutdown()
+    system.save_trajectory_tum(args.out)
+    if args.kf_out:
+        system.save_keyframe_trajectory_tum(args.kf_out)
+    if args.ply:
+        system.save_point_cloud_ply(args.ply)
+
+    print(system.extract_times())
+    print(f"processed {n} frames in {wall:.1f}s ({n / max(wall, 1e-9):.1f} fps)")
+    print(f"trajectory saved to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -129,19 +129,18 @@ def orbit_trajectory(
     radius: float = 0.6,
     yaw_amp: float = 0.35,
     center: Tuple[float, float, float] = (0.0, 0.0, -0.8),
-    span: float = 0.3 * np.pi,
+    step: float = 0.3 * np.pi / 24.0,
 ) -> np.ndarray:
     """Smooth camera path inside the room -> (n, 4, 4) T_wc (camera to world).
 
-    The camera translates on a horizontal arc of `span` radians and yaws,
-    always looking roughly at the +z wall. The default span keeps per-frame
-    motion at the 1-3 cm / <1 deg scale of a 30 fps handheld sequence (large
-    inter-frame jumps defeat window-based matching in any VO, including the
-    reference's)."""
+    The camera translates on a horizontal arc and yaws, always looking
+    roughly at the +z wall. Per-frame arc `step` is constant regardless of
+    n, keeping motion at the 1-3 cm / <1 deg scale of a 30 fps handheld
+    sequence (large inter-frame jumps defeat window-based matching in any
+    VO, including the reference's)."""
     out = []
     for i in range(n):
-        s = i / max(n - 1, 1)
-        ang = span * s
+        ang = step * i
         t = np.array(
             [
                 center[0] + radius * np.sin(ang),

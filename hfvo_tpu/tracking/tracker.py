@@ -20,9 +20,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..bow.database import KeyFrameDatabase
+from ..bow.vocab import bow_histogram, compute_words
 from ..config import VOConfig
+from ..geometry import camera as camera_ops
 from ..geometry import se3
 from ..mapping.local_mapping import LocalMapper
+from ..solve.ransac import ransac_rigid_3d3d
 from ..ops import lines as line_ops
 from ..ops import lines3d as line3d_ops
 from ..ops import manhattan as manh_ops
@@ -217,6 +221,7 @@ class Tracker:
         # (reference: Map::SetWorldManhAxis, src/Map.cc:144).
         self.R_wm = np.eye(3, dtype=np.float32)
         self.manh_valid = False
+        self.kf_db = KeyFrameDatabase(self.cfg.cap.keyframes)
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
@@ -241,13 +246,31 @@ class Tracker:
             return TrackResult(self.state, self.T_cw.copy(), 0, True)
 
         T_pred = self.velocity @ self.T_cw
+        if self.state is TrackState.LOST:
+            # Relocalize by appearance before attempting to track
+            # (reference: Tracking::Relocalization, src/Tracking.cc:3760).
+            T_reloc = self._relocalize(gray, depth)
+            if T_reloc is not None:
+                T_pred = T_reloc
+                self.velocity = np.eye(4, dtype=np.float32)
         ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(gray, depth, T_pred)
         if not ok:
-            # Wide-window recovery from the last pose (round-1 stand-in for
-            # BoW relocalization, reference: src/Tracking.cc:3760).
+            # Wide-window recovery from the last pose (reference falls back
+            # from the motion model to wider searches the same way).
             ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(
                 gray, depth, self.T_cw, radius=50.0, check_octave=False
             )
+        if not ok:
+            # Window-free fallback vs the reference keyframe (reference:
+            # TrackReferenceKeyFrame, src/Tracking.cc:1831). Descriptor-only
+            # matches can produce false consensus, so acceptance demands a
+            # much larger inlier count than the normal gate.
+            T_ref = self._track_reference_kf(feats)
+            if T_ref is not None:
+                ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(
+                    gray, depth, T_ref
+                )
+                ok = ok and n_matches >= 3 * self.cfg.tracking.min_matches_track
 
         is_kf = False
         if ok:
@@ -438,6 +461,90 @@ class Tracker:
         ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
         return ok, T_new.astype(np.float32), pt_per_kp, n_in, feats
 
+    def _track_reference_kf(self, feats: FrameFeatures):
+        """Window-free descriptor matching vs the newest keyframe, solved by
+        3D-3D RANSAC (reference: TrackReferenceKeyFrame, src/Tracking.cc:1831
+        uses SearchByBoW + pose optimization). Returns a pose estimate or
+        None."""
+        k = self.vomap.next_kf_slot - 1
+        if k < 0:
+            return None
+        kf = self.vomap.keyframes
+        idx_b, mok = matcher.match_descriptors_mutual(
+            feats.desc, feats.valid,
+            jnp.asarray(kf.desc[k]), jnp.asarray(kf.obs_valid[k]),
+        )
+        idx_b, mok = np.asarray(idx_b), np.asarray(mok)
+        depth_np = np.asarray(feats.depth)
+        pid = kf.point_id[k][idx_b]
+        good = (
+            mok & (pid >= 0)
+            & self.vomap.points.valid[np.maximum(pid, 0)]
+            & (depth_np > 1e-3)
+        )
+        if good.sum() < 15:
+            return None
+        Xa = self.vomap.points.X_w[np.maximum(pid, 0)]
+        X_c = np.array(
+            camera_ops.unproject(
+                self.cfg.camera, feats.uv, jnp.asarray(np.maximum(depth_np, 1e-3))
+            )
+        )
+        res = ransac_rigid_3d3d(
+            jnp.asarray(Xa), jnp.asarray(X_c), jnp.asarray(good),
+            jnp.asarray(np.uint32(self.frame_id)),
+        )
+        if bool(res.ok):
+            return np.linalg.inv(np.asarray(res.T_ab)).astype(np.float32)
+        return None
+
+    def _relocalize(self, gray: jnp.ndarray, depth: jnp.ndarray):
+        """BoW candidate retrieval + 3D-3D RANSAC pose recovery.
+
+        (reference: Tracking::Relocalization src/Tracking.cc:3760 —
+        KeyFrameDatabase candidates, SearchByBoW per candidate, EPnP RANSAC,
+        pose refinement. RGB-D depth lets a 3-point Kabsch RANSAC replace
+        EPnP; the subsequent `_track_local_map` plays the refinement role.)
+        """
+        feats = extract_frame_jit(gray, depth, self.cfg)
+        words = compute_words(feats.desc)
+        hist = np.asarray(bow_histogram(words, feats.valid))
+        cands, _ = self.kf_db.query(hist, top_k=5)
+        if len(cands) == 0:
+            return None
+        depth_np = np.asarray(feats.depth)
+        uv_np = np.asarray(feats.uv)
+        kf = self.vomap.keyframes
+        X_c_all = np.array(
+            camera_ops.unproject(
+                self.cfg.camera, feats.uv, jnp.asarray(np.maximum(depth_np, 1e-3))
+            )
+        )
+        for k in cands:
+            idx_b, mok = matcher.match_descriptors_mutual(
+                feats.desc, feats.valid,
+                jnp.asarray(kf.desc[k]), jnp.asarray(kf.obs_valid[k]),
+            )
+            idx_b, mok = np.asarray(idx_b), np.asarray(mok)
+            pid = kf.point_id[k][idx_b]
+            good = (
+                mok
+                & (pid >= 0)
+                & self.vomap.points.valid[np.maximum(pid, 0)]
+                & (depth_np > 1e-3)
+            )
+            if good.sum() < 15:
+                continue
+            Xa = self.vomap.points.X_w[np.maximum(pid, 0)]  # world
+            res = ransac_rigid_3d3d(
+                jnp.asarray(Xa), jnp.asarray(X_c_all), jnp.asarray(good),
+                jnp.asarray(np.uint32(self.frame_id)),
+            )
+            if bool(res.ok):
+                T_wc = np.asarray(res.T_ab)
+                return np.linalg.inv(T_wc).astype(np.float32)
+        return None
+
     def _try_coarse_manhattan(self, depth: jnp.ndarray) -> None:
         """One-shot world Manhattan axes from the frame's normals (+ line
         directions when available) (reference: Tracking::ExtractCoarseManhAx,
@@ -512,6 +619,11 @@ class Tracker:
         kf_slot = self.vomap.add_keyframe(
             self.T_cw, self.frame_id, pt_per_kp.astype(np.int32),
             obs, octave, desc, obs_valid,
+        )
+        # Appearance index for relocalization (reference: KeyFrameDatabase::add).
+        words = compute_words(feats.desc)
+        self.kf_db.add(
+            kf_slot, np.asarray(bow_histogram(words, feats.valid))
         )
 
         if self.cfg.use_lines and self._last_line_out is not None:

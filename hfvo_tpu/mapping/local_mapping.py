@@ -148,7 +148,9 @@ class LocalMapper:
             le_inv_sigma2=jnp.asarray(pad(np.ones(nle, np.float32), El)),
             le_valid=jnp.asarray(pad(np.ones(nle, bool), El)),
         )
-        res = local_bundle_adjustment(prob, self.cfg.camera)
+        import jax
+
+        res = jax.device_get(local_bundle_adjustment(prob, self.cfg.camera))
 
         # Write back poses + points + line endpoints.
         T_new = np.asarray(res.kf_T_cw)[: len(window)]

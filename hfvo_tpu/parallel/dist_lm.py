@@ -17,7 +17,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..geometry import se3
 from ..geometry.camera import Intrinsics
@@ -50,6 +50,7 @@ def dist_pose_step(
         mesh=mesh,
         in_specs=(P(), P(None, "edge", None), P(None, "edge", None), P(None, "edge")),
         out_specs=P(),
+        check_vma=False,
     )
     def step(T, Xs, obss, ws):
         def one_seq(T_s, X_s, obs_s, w_s):

@@ -406,20 +406,20 @@ class Tracker:
         mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad = (
             self._local_map_snapshot()
         )
-        (
-            T_new_d, inlier_d, n_in_d, pt_local_d, visible_d, feats,
-            line_out, plane_out,
-        ) = fused_track_step(
+        out_device = fused_track_step(
             self.cfg, gray, depth, mX, mdesc, mvalid, moct,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
             jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
             jnp.asarray(T_pred.astype(np.float32)),
             radius=radius, check_octave=check_octave,
         )
-        # Single synchronization point for the frame.
-        T_new, inlier, n_in, pt_local, visible = jax.device_get(
-            (T_new_d, inlier_d, n_in_d, pt_local_d, visible_d)
-        )
+        # ONE synchronization point per frame: pull the entire result pytree
+        # (pose, matches, features, line/plane outputs) in a single
+        # device_get — the tunnel RTT dominates, so serial per-array pulls
+        # cost ~25 ms each while the whole ~150 KB batch costs one RTT.
+        (
+            T_new, inlier, n_in, pt_local, visible, feats, line_out, plane_out,
+        ) = jax.device_get(out_device)
         n_in = int(n_in)
         pt_per_kp = np.where(pt_local >= 0, pad[np.maximum(pt_local, 0)], -1)
         matched = pt_per_kp >= 0
@@ -433,10 +433,7 @@ class Tracker:
 
         self._last_line_out = None
         if line_out is not None:
-            lf, l3d, ln_local_d, ln_inlier_d, ln_vis_d = line_out
-            ln_local, ln_inlier, ln_vis = jax.device_get(
-                (ln_local_d, ln_inlier_d, ln_vis_d)
-            )
+            lf, l3d, ln_local, ln_inlier, ln_vis = line_out
             ln_per_seg = np.where(ln_local >= 0, lpad[np.maximum(ln_local, 0)], -1)
             lmatched = ln_per_seg >= 0
             lvis_ids = lpad[ln_vis & (lpad >= 0)]
@@ -449,10 +446,7 @@ class Tracker:
 
         self._last_plane_out = None
         if plane_out is not None:
-            seg, p_map_idx_d, p_kind_d, p_inlier_d = plane_out
-            p_map_idx, p_kind, p_inlier = jax.device_get(
-                (p_map_idx_d, p_kind_d, p_inlier_d)
-            )
+            seg, p_map_idx, p_kind, p_inlier = plane_out
             self.vomap.planes.last_seen_frame[
                 p_map_idx[(p_kind == 0) & p_inlier]
             ] = self.frame_id

@@ -31,6 +31,7 @@ from ..ops import lines as line_ops
 from ..ops import lines3d as line3d_ops
 from ..ops import manhattan as manh_ops
 from ..ops import planes as plane_ops
+from ..ops import structural as struct_ops
 from ..solve.lm import LineObs, PlaneObs, PoseObs, pose_optimization
 from ..vomap.map import VOMap
 from . import matcher
@@ -46,8 +47,8 @@ class TrackState(enum.Enum):
 @partial(jax.jit, static_argnames=("cfg", "radius", "check_octave"))
 def fused_track_step(
     cfg: VOConfig,
-    gray: jnp.ndarray,
-    depth: jnp.ndarray,
+    gray_u8: jnp.ndarray,  # (H, W) uint8 — compact host->device upload
+    depth_mm: jnp.ndarray,  # (H, W) uint16 millimeters
     map_X: jnp.ndarray,  # (L, 3) local-map snapshot (device-resident)
     map_desc: jnp.ndarray,
     map_valid: jnp.ndarray,
@@ -69,6 +70,10 @@ def fused_track_step(
     single dispatch and a single host pull per frame (the reference spreads
     this over 4+ CPU threads and many locks; here XLA schedules it on-chip).
     """
+    gray = gray_u8.astype(jnp.float32)
+    depth = depth_mm.astype(jnp.float32) * 1e-3
+
+    R_cm_ref = None
     if cfg.use_manhattan:
         # Manhattan rotation prior (reference: TrackManhattanFrame before
         # motion-model tracking, src/Tracking.cc:706): mean-shift the
@@ -115,6 +120,33 @@ def fused_track_step(
             min_valid=cfg.lines.min_valid_depth_samples,
             min_length=cfg.lines.min_length_3d,
         )
+        # Structural endpoint refinement (reference: par/perp discovery at
+        # frame construction, src/Tracking.cc:270-293, then LineOptStruct,
+        # src/Tracking.cc:331).
+        v3 = lf.valid & l3d.valid
+        d3 = l3d.X1_c - l3d.X0_c
+        d3 = d3 / (jnp.linalg.norm(d3, axis=-1, keepdims=True) + 1e-9)
+        d2 = lf.p1 - lf.p0
+        d2 = d2 / (jnp.linalg.norm(d2, axis=-1, keepdims=True) + 1e-9)
+        pairs = struct_ops.discover_pairs(
+            d2, d3, v3,
+            par_deg=cfg.manhattan.par_deg_2d3d,
+            perp_deg=cfg.manhattan.perp_deg_2d3d,
+        )
+        if cfg.use_manhattan and R_cm_ref is not None:
+            ax_idx = manh_ops.line_axis_assignment(
+                R_cm_ref, d3, cone=cfg.manhattan.line_cone
+            )
+            axes_c = R_cm_ref.T  # rows = axes in camera frame
+            ax_dir = axes_c[jnp.maximum(ax_idx, 0)]
+            ax_ok = (ax_idx >= 0) & manh_valid & v3
+        else:
+            ax_dir = jnp.zeros_like(d3)
+            ax_ok = jnp.zeros_like(v3)
+        X0r, X1r = struct_ops.line_opt_struct(
+            l3d.X0_c, l3d.X1_c, v3, pairs.par, pairs.perp, ax_dir, ax_ok
+        )
+        l3d = l3d._replace(X0_c=X0r, X1_c=X1r)
         lres = matcher.search_lines_by_projection(
             ml_X0, ml_X1, ml_desc, ml_valid,
             lf.p0, lf.p1, lf.desc, lf.valid,
@@ -221,6 +253,7 @@ class Tracker:
         # (reference: Map::SetWorldManhAxis, src/Map.cc:144).
         self.R_wm = np.eye(3, dtype=np.float32)
         self.manh_valid = False
+        self._manh_fine_done = False
         self.kf_db = KeyFrameDatabase(self.cfg.cap.keyframes)
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
@@ -236,14 +269,24 @@ class Tracker:
         """Process one RGB-D frame (reference: System::TrackRGBD ->
         Tracking::GrabImageRGBD_wh, src/Tracking.cc:236)."""
         self.frame_id += 1
-        gray = jnp.asarray(gray)
-        depth = jnp.asarray(depth)
+        gray_np = np.asarray(gray)
+        depth_np = np.asarray(depth)
+        # Compact uploads for the per-frame hot path: uint8 intensity +
+        # uint16 millimeter depth (3.5x less tunnel traffic than float32).
+        gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
+        depth_u16 = jnp.asarray(
+            np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
+        )
 
         if self.state is TrackState.NOT_INITIALIZED:
-            feats = extract_frame_jit(gray, depth, self.cfg)
-            self._initialize(feats, gray, depth, T_cw_init)
+            gray_f = jnp.asarray(gray_np.astype(np.float32))
+            depth_f = jnp.asarray(depth_np.astype(np.float32))
+            feats = extract_frame_jit(gray_f, depth_f, self.cfg)
+            self._initialize(feats, gray_f, depth_f, T_cw_init)
             self._record_trajectory()
             return TrackResult(self.state, self.T_cw.copy(), 0, True)
+        gray = gray_u8
+        depth = depth_u16
 
         T_pred = self.velocity @ self.T_cw
         if self.state is TrackState.LOST:
@@ -500,6 +543,10 @@ class Tracker:
         pose refinement. RGB-D depth lets a 3-point Kabsch RANSAC replace
         EPnP; the subsequent `_track_local_map` plays the refinement role.)
         """
+        if gray.dtype == jnp.uint8:
+            gray = gray.astype(jnp.float32)
+        if depth.dtype == jnp.uint16:
+            depth = depth.astype(jnp.float32) * 1e-3
         feats = extract_frame_jit(gray, depth, self.cfg)
         words = compute_words(feats.desc)
         hist = np.asarray(bow_histogram(words, feats.valid))
@@ -543,6 +590,8 @@ class Tracker:
         """One-shot world Manhattan axes from the frame's normals (+ line
         directions when available) (reference: Tracking::ExtractCoarseManhAx,
         src/Tracking.cc:533-585; retried per frame until success :644-650)."""
+        if depth.dtype == jnp.uint16:
+            depth = depth.astype(jnp.float32) * 1e-3
         normals, ok = plane_ops.compute_normals(depth, self.cfg.camera, stride=8)
         d = np.asarray(normals)[np.asarray(ok)]
         if self._last_line_out is not None:
@@ -555,11 +604,17 @@ class Tracker:
         if len(d) < 100:
             return
         sub = d[:: max(len(d) // 1500, 1)].astype(np.float32)
+        # Fixed-size padding: a data-dependent length would recompile the
+        # jitted hypothesis search on every retry.
+        CAP = 1536
+        w = np.zeros((CAP,), np.float32)
+        w[: min(len(sub), CAP)] = 1.0
+        buf = np.zeros((CAP, 3), np.float32)
+        buf[: min(len(sub), CAP)] = sub[:CAP]
         rng = np.random.RandomState(self.frame_id + 1)
-        idx = rng.randint(0, len(sub), size=(24, 2))
+        idx = rng.randint(0, max(min(len(sub), CAP), 1), size=(24, 2))
         R_cm, rate = manh_ops.coarse_manhattan_init(
-            jnp.asarray(sub), jnp.ones((len(sub),), jnp.float32),
-            jnp.asarray(sub[idx]),
+            jnp.asarray(buf), jnp.asarray(w), jnp.asarray(buf[idx]),
             cone=self.cfg.manhattan.normal_cone,
         )
         if float(rate) > self.cfg.manhattan.coarse_success_rate:
@@ -658,6 +713,35 @@ class Tracker:
                 kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid
             )
             self.vomap.cull_lines(self.frame_id)
+
+        # Fine Manhattan initialization: refine the world axes against the
+        # accumulated map-line directions a few keyframes after the coarse
+        # estimate (reference: MultiViewManhInit, src/Optimizer.cc:3942,
+        # triggered 4 KFs after coarse init, src/LocalMapping.cc:100-110).
+        if (
+            self.cfg.use_manhattan
+            and self.manh_valid
+            and not self._manh_fine_done
+            and self.vomap.n_keyframes() >= 4
+        ):
+            lt = self.vomap.lines
+            lv = lt.valid & (lt.manh_idx >= 0)
+            if lv.sum() >= 12:
+                dw = lt.X1_w[lv] - lt.X0_w[lv]
+                dw = (dw / (np.linalg.norm(dw, axis=1, keepdims=True) + 1e-9)).astype(np.float32)
+                CAP = 1024  # fixed shape: avoid per-call recompilation
+                buf = np.zeros((CAP, 3), np.float32)
+                n = min(len(dw), CAP)
+                buf[:n] = dw[:n]
+                wgt = np.zeros((CAP,), np.float32)
+                wgt[:n] = 1.0
+                R_new, sup = manh_ops.refine_axes(
+                    jnp.asarray(self.R_wm), jnp.asarray(buf), jnp.asarray(wgt),
+                    cone=self.cfg.manhattan.line_cone, n_iters=3,
+                )
+                if int(np.asarray(sup).min()) >= 0:  # completion handles gaps
+                    self.R_wm = np.asarray(R_new).astype(np.float32)
+                    self._manh_fine_done = True
 
         if self.cfg.use_planes and self._last_plane_out is not None:
             seg, p_map_idx, p_kind, p_inlier = self._last_plane_out

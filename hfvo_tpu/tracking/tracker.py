@@ -232,6 +232,7 @@ class TrackResult:
 class Tracker:
     cfg: VOConfig
     use_local_ba: bool = True
+    use_loop_closing: bool = True
     vomap: VOMap = field(init=False)
     mapper: LocalMapper = field(init=False)
     state: TrackState = TrackState.NOT_INITIALIZED
@@ -255,6 +256,9 @@ class Tracker:
         self.manh_valid = False
         self._manh_fine_done = False
         self.kf_db = KeyFrameDatabase(self.cfg.cap.keyframes)
+        from ..mapping.loop_closing import LoopCloser
+
+        self.loop_closer = LoopCloser(self.cfg, self.vomap)
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
@@ -329,6 +333,10 @@ class Tracker:
                 if self.use_local_ba:
                     self.mapper.run_local_ba()
                     # BA may have moved the newest KF (= this frame's pose).
+                    self.T_cw = self.vomap.keyframes.T_cw[
+                        self.vomap.next_kf_slot - 1
+                    ].copy()
+                if self.use_loop_closing and self.loop_closer.detect_and_close(self):
                     self.T_cw = self.vomap.keyframes.T_cw[
                         self.vomap.next_kf_slot - 1
                     ].copy()

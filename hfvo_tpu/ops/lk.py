@@ -1,0 +1,167 @@
+"""Pyramidal Lucas-Kanade optical flow, batched over track points.
+
+Replaces `cv::calcOpticalFlowPyrLK` as used by the reference's
+Manhattan-seeded line recovery (reference: LSDmatcher::optical_flow_line,
+src/LSDmatcher.cpp:158-520: sample points on an unmatched line, warp them by
+`K R_cl K^-1` as the initial guess, run pyramidal LK, refit the line).
+
+Each tracked point iterates the classic LK update on a fixed window at each
+pyramid level, coarse to fine; everything is vmapped so thousands of points
+solve their 2x2 systems in parallel on the VPU.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import build_pyramid, bilinear_sample, sobel_gradients
+
+WIN = 7  # window half-size -> (2*WIN+1)^2 patch
+
+
+def _lk_level(
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    gx0: jnp.ndarray,
+    gy0: jnp.ndarray,
+    p0: jnp.ndarray,  # (N, 2) source points at this level
+    p1: jnp.ndarray,  # (N, 2) current estimates at this level
+    n_iters: int,
+) -> jnp.ndarray:
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-WIN, WIN + 1, dtype=jnp.float32),
+            jnp.arange(-WIN, WIN + 1, dtype=jnp.float32),
+            indexing="xy",
+        ),
+        axis=-1,
+    ).reshape(-1, 2)  # (W2, 2)
+
+    def track_one(q0, q1):
+        pts0 = q0[None, :] + offs  # (W2, 2)
+        I0 = bilinear_sample(img0, pts0)
+        Ix = bilinear_sample(gx0, pts0)
+        Iy = bilinear_sample(gy0, pts0)
+        G = jnp.array(
+            [[jnp.sum(Ix * Ix), jnp.sum(Ix * Iy)],
+             [jnp.sum(Ix * Iy), jnp.sum(Iy * Iy)]]
+        ) + 1e-4 * jnp.eye(2)
+        G_inv = jnp.linalg.inv(G)
+
+        def body(_, q):
+            I1 = bilinear_sample(img1, q[None, :] + offs)
+            dI = I1 - I0
+            b = jnp.array([jnp.sum(dI * Ix), jnp.sum(dI * Iy)])
+            return q - G_inv @ b
+
+        return jax.lax.fori_loop(0, n_iters, body, q1)
+
+    return jax.vmap(track_one)(p0, p1)
+
+
+@partial(jax.jit, static_argnames=("n_levels", "n_iters"))
+def pyr_lk(
+    img0: jnp.ndarray,  # (H, W) float32 source frame
+    img1: jnp.ndarray,  # (H, W) target frame
+    p0: jnp.ndarray,  # (N, 2) points in img0
+    p1_init: jnp.ndarray,  # (N, 2) initial guesses in img1 (e.g. rotation-warped)
+    n_levels: int = 3,
+    n_iters: int = 8,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Track p0 from img0 into img1. Returns (p1 (N, 2), ok (N,)).
+
+    `ok` gates on in-bounds results and forward-match residual.
+    """
+    pyr0 = build_pyramid(img0, n_levels, 2.0)
+    pyr1 = build_pyramid(img1, n_levels, 2.0)
+    scale_top = 2.0 ** (n_levels - 1)
+    cur = p1_init / scale_top
+    for l in range(n_levels - 1, -1, -1):
+        s = 2.0**l
+        gx0, gy0 = sobel_gradients(pyr0[l])
+        cur = _lk_level(pyr0[l], pyr1[l], gx0, gy0, p0 / s, cur, n_iters)
+        if l > 0:
+            cur = cur * 2.0
+    p1 = cur
+    h, w = img0.shape
+    inb = (
+        (p1[:, 0] >= WIN) & (p1[:, 0] < w - WIN)
+        & (p1[:, 1] >= WIN) & (p1[:, 1] < h - WIN)
+    )
+    # Photometric check: mean abs diff over a small patch.
+    offs = jnp.stack(
+        jnp.meshgrid(
+            jnp.arange(-2, 3, dtype=jnp.float32),
+            jnp.arange(-2, 3, dtype=jnp.float32),
+            indexing="xy",
+        ),
+        axis=-1,
+    ).reshape(-1, 2)
+
+    def photo_err(q0, q1):
+        return jnp.mean(
+            jnp.abs(
+                bilinear_sample(img1, q1[None, :] + offs)
+                - bilinear_sample(img0, q0[None, :] + offs)
+            )
+        )
+
+    err = jax.vmap(photo_err)(p0, p1)
+    ok = inb & (err < 12.0)
+    return p1, ok
+
+
+@partial(jax.jit, static_argnames=("intr", "n_samples"))
+def warp_points_by_rotation(
+    intr, uv: jnp.ndarray, R_10: jnp.ndarray, n_samples: int = 0
+) -> jnp.ndarray:
+    """Initial LK guesses by the infinite-homography warp `K R K^-1`
+    (reference seeds LK with the Manhattan rotation, src/LSDmatcher.cpp:260)."""
+    x = (uv[:, 0] - intr.cx) / intr.fx
+    y = (uv[:, 1] - intr.cy) / intr.fy
+    rays = jnp.stack([x, y, jnp.ones_like(x)], axis=1)
+    r1 = rays @ R_10.T
+    z = jnp.where(jnp.abs(r1[:, 2]) > 1e-6, r1[:, 2], 1e-6)
+    return jnp.stack(
+        [intr.fx * r1[:, 0] / z + intr.cx, intr.fy * r1[:, 1] / z + intr.cy],
+        axis=1,
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "n_pts"))
+def recover_line_by_flow(
+    intr,
+    img0: jnp.ndarray,
+    img1: jnp.ndarray,
+    p0_seg: jnp.ndarray,  # (2,) line endpoint A in img0
+    p1_seg: jnp.ndarray,  # (2,) endpoint B
+    R_10: jnp.ndarray,  # (3, 3) rotation prior (cam1 <- cam0)
+    n_pts: int = 16,
+):
+    """Track a line segment into the next frame via rotation-seeded LK and
+    refit (reference: optical_flow_line's sample -> warp -> LK -> line refit,
+    src/LSDmatcher.cpp:158-520). Returns (q0 (2,), q1 (2,), ok ())."""
+    ts = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / n_pts
+    pts = p0_seg[None, :] + (p1_seg - p0_seg)[None, :] * ts[:, None]
+    guess = warp_points_by_rotation(intr, pts, R_10)
+    tracked, ok = pyr_lk(img0, img1, pts, guess)
+    w = ok.astype(jnp.float32)
+    sw = jnp.sum(w) + 1e-9
+    c = jnp.sum(tracked * w[:, None], axis=0) / sw
+    d = tracked - c
+    cxx = jnp.sum(w * d[:, 0] * d[:, 0]) / sw
+    cyy = jnp.sum(w * d[:, 1] * d[:, 1]) / sw
+    cxy = jnp.sum(w * d[:, 0] * d[:, 1]) / sw
+    phi = 0.5 * jnp.arctan2(2 * cxy, cxx - cyy)
+    u = jnp.array([jnp.cos(phi), jnp.sin(phi)])
+    along = d @ u
+    a_min = jnp.min(jnp.where(ok, along, 1e9))
+    a_max = jnp.max(jnp.where(ok, along, -1e9))
+    # Line fit residual gate (reference gates on point-line distance 0.1 px
+    # ... 2.5 px tiers, src/LSDmatcher.cpp:420-470).
+    perp = jnp.abs(d @ jnp.array([-u[1], u[0]]))
+    good_fit = jnp.sum((perp < 2.5) & ok) >= jnp.maximum(n_pts // 2, 5)
+    return c + u * a_min, c + u * a_max, good_fit & (a_max > a_min)

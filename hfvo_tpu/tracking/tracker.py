@@ -576,22 +576,28 @@ class Tracker:
             )
             idx_b, mok = np.asarray(idx_b), np.asarray(mok)
             pid = kf.point_id[k][idx_b]
-            good = (
-                mok
-                & (pid >= 0)
-                & self.vomap.points.valid[np.maximum(pid, 0)]
-                & (depth_np > 1e-3)
-            )
-            if good.sum() < 15:
-                continue
+            matched = mok & (pid >= 0) & self.vomap.points.valid[np.maximum(pid, 0)]
+            good = matched & (depth_np > 1e-3)
             Xa = self.vomap.points.X_w[np.maximum(pid, 0)]  # world
-            res = ransac_rigid_3d3d(
-                jnp.asarray(Xa), jnp.asarray(X_c_all), jnp.asarray(good),
-                jnp.asarray(np.uint32(self.frame_id)),
-            )
-            if bool(res.ok):
-                T_wc = np.asarray(res.T_ab)
-                return np.linalg.inv(T_wc).astype(np.float32)
+            if good.sum() >= 15:
+                res = ransac_rigid_3d3d(
+                    jnp.asarray(Xa), jnp.asarray(X_c_all), jnp.asarray(good),
+                    jnp.asarray(np.uint32(self.frame_id)),
+                )
+                if bool(res.ok):
+                    T_wc = np.asarray(res.T_ab)
+                    return np.linalg.inv(T_wc).astype(np.float32)
+            if matched.sum() >= 15:
+                # Depth-free fallback: 2D-3D PnP RANSAC (the reference's
+                # EPnP relocalization path, src/Tracking.cc:3805).
+                from ..solve.pnp import pnp_ransac
+
+                res = pnp_ransac(
+                    jnp.asarray(Xa), feats.uv, jnp.asarray(matched),
+                    self.cfg.camera, jnp.asarray(np.uint32(self.frame_id)),
+                )
+                if bool(res.ok):
+                    return np.asarray(res.T_cw).astype(np.float32)
         return None
 
     def _try_coarse_manhattan(self, depth: jnp.ndarray) -> None:

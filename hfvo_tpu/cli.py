@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     ap.add_argument("--ply", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--no-ba", action="store_true")
+    ap.add_argument(
+        "--loader", choices=["auto", "native", "python"], default="auto",
+        help="sequence loader: native C++ prefetcher or pure Python",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -45,11 +49,23 @@ def main(argv=None) -> int:
     system = VOSystem(settings_yaml=args.settings, use_local_ba=not args.no_ba)
     factor = system.cfg.tracking.depth_map_factor
 
+    frames = None
+    if args.loader in ("auto", "native"):
+        from . import native
+
+        if native.native_available():
+            frames = native.NativeSequenceLoader(
+                args.sequence, args.association, factor,
+                max_hw=(system.cfg.camera.height, system.cfg.camera.width),
+            )
+        elif args.loader == "native":
+            raise SystemExit(f"native loader unavailable: {native.build_error()}")
+    if frames is None:
+        frames = tum.iterate_sequence(args.sequence, args.association, factor)
+
     n = 0
     t_start = time.perf_counter()
-    for ts, gray, depth in tum.iterate_sequence(
-        args.sequence, args.association, factor
-    ):
+    for ts, gray, depth in frames:
         res = system.track_rgbd(gray, depth, ts)
         n += 1
         if n % 50 == 0:

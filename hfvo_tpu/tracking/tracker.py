@@ -454,23 +454,36 @@ class Tracker:
         """Project local map into the predicted view, match, optimize pose
         (reference: TrackWithMotionModel + TrackLocalMapWithLines,
         src/Tracking.cc:2251, :2816) — all in one fused device call."""
-        mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad = (
-            self._local_map_snapshot()
-        )
+        args = self.prepare_step_args(gray, depth, T_pred)
         out_device = fused_track_step(
-            self.cfg, gray, depth, mX, mdesc, mvalid, moct,
-            lX0, lX1, ldesc, lvalid, mppi, mpvalid,
-            jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
-            jnp.asarray(T_pred.astype(np.float32)),
-            radius=radius, check_octave=check_octave,
+            self.cfg, *args, radius=radius, check_octave=check_octave
         )
         # ONE synchronization point per frame: pull the entire result pytree
         # (pose, matches, features, line/plane outputs) in a single
         # device_get — the tunnel RTT dominates, so serial per-array pulls
         # cost ~25 ms each while the whole ~150 KB batch costs one RTT.
+        return self.finish_step(jax.device_get(out_device))
+
+    def prepare_step_args(self, gray, depth, T_pred):
+        """Device inputs for `fused_track_step` (split out so a batch runner
+        can stack several trackers' inputs and vmap one call)."""
+        mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad = (
+            self._local_map_snapshot()
+        )
+        self._pads = (pad, lpad)
+        return (
+            gray, depth, mX, mdesc, mvalid, moct,
+            lX0, lX1, ldesc, lvalid, mppi, mpvalid,
+            jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
+            jnp.asarray(T_pred.astype(np.float32)),
+        )
+
+    def finish_step(self, out_host):
+        """Host bookkeeping for one pulled step result."""
+        pad, lpad = self._pads
         (
             T_new, inlier, n_in, pt_local, visible, feats, line_out, plane_out,
-        ) = jax.device_get(out_device)
+        ) = out_host
         n_in = int(n_in)
         pt_per_kp = np.where(pt_local >= 0, pad[np.maximum(pt_local, 0)], -1)
         matched = pt_per_kp >= 0

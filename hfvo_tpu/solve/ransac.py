@@ -46,6 +46,31 @@ def kabsch(Xa: jnp.ndarray, Xb: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     return se3.rt_to_mat(R, t)
 
 
+def kabsch_sim3(Xa: jnp.ndarray, Xb: jnp.ndarray, w: jnp.ndarray):
+    """Weighted Horn similarity: (s, R, t) with Xa ~ s R Xb + t.
+
+    (reference: Sim3Solver::ComputeSim3, src/Sim3Solver.cc:226 — Horn's
+    closed form; the reference fixes s=1 for RGB-D, which `kabsch` covers.)
+    Returns (s (scalar), T (4, 4) containing R and t; apply as s*R@x+t).
+    """
+    sw = jnp.sum(w, axis=-1, keepdims=True) + 1e-9
+    ca = jnp.sum(Xa * w[..., None], axis=-2) / sw
+    cb = jnp.sum(Xb * w[..., None], axis=-2) / sw
+    A = Xa - ca[..., None, :]
+    B = Xb - cb[..., None, :]
+    H = jnp.einsum("...ni,...n,...nj->...ij", B, w, A)
+    U, _, Vt = jnp.linalg.svd(H)
+    det = jnp.linalg.det(jnp.swapaxes(Vt, -1, -2) @ jnp.swapaxes(U, -1, -2))
+    D = jnp.stack([jnp.ones_like(det), jnp.ones_like(det), det], axis=-1)
+    R = jnp.einsum("...ji,...j,...kj->...ik", Vt, D, U)
+    # Symmetric scale (Horn): sqrt(sum|A|^2 / sum|B|^2) over inliers.
+    na = jnp.sum(w[..., None] * A * A, axis=(-2, -1))
+    nb = jnp.sum(w[..., None] * B * B, axis=(-2, -1))
+    s = jnp.sqrt(na / jnp.maximum(nb, 1e-12))
+    t = ca - s[..., None] * jnp.einsum("...ij,...j->...i", R, cb)
+    return s, se3.rt_to_mat(R, t)
+
+
 @partial(jax.jit, static_argnames=("min_inliers",))
 def ransac_rigid_3d3d(
     Xa: jnp.ndarray,  # (N, 3) target points (e.g. map/world)

@@ -73,3 +73,17 @@ def test_kidnapped_relocalization():
         se3.log_se3(jnp.asarray(T_gt.astype(np.float32)) @ se3.inv(jnp.asarray(r.T_cw)))
     )
     assert np.abs(err[:3]).max() < 0.05, err
+
+
+def test_kabsch_sim3_recovers_scale(rng):
+    from hfvo_tpu.solve.ransac import kabsch_sim3
+
+    X = rng.normal(size=(30, 3)).astype(np.float32) * 2
+    s_gt = 1.7
+    T_gt = np.asarray(se3.exp_se3(jnp.asarray(np.array([0.2, -0.1, 0.3, 0.1, 0.2, -0.1], np.float32))))
+    Y = s_gt * (T_gt[:3, :3] @ X.T).T + T_gt[:3, 3]
+    s, T = kabsch_sim3(jnp.asarray(Y), jnp.asarray(X), jnp.ones((30,)))
+    assert abs(float(s) - s_gt) < 1e-3
+    np.testing.assert_allclose(np.asarray(T)[:3, :3], T_gt[:3, :3], atol=1e-4)
+    rec = float(s) * (np.asarray(T)[:3, :3] @ X.T).T + np.asarray(T)[:3, 3]
+    np.testing.assert_allclose(rec, Y, atol=1e-3)

@@ -628,6 +628,21 @@ class Tracker:
                 ld = np.asarray(l3d.X1_c)[v3] - np.asarray(l3d.X0_c)[v3]
                 ld /= np.linalg.norm(ld, axis=1, keepdims=True) + 1e-9
                 d = np.concatenate([d, ld.astype(d.dtype)])
+            # Vanishing-point directions contribute depth-free structure
+            # (reference seeds Manhattan from line VPs, Frame.cc:330-337 +
+            # Tracking's mVF3DLines path) — each VP repeated to carry weight.
+            from ..ops import vp as vp_ops
+
+            vpr = vp_ops.estimate_vps(
+                self.cfg.camera, jnp.asarray(lf.p0), jnp.asarray(lf.p1),
+                jnp.asarray(lf.valid),
+            )
+            if bool(vpr.ok):
+                sup = np.asarray(vpr.support)
+                vps = np.asarray(vpr.vps)
+                reps = np.repeat(vps, np.clip(sup, 0, 20), axis=0)
+                if len(reps):
+                    d = np.concatenate([d, reps.astype(d.dtype)])
         if len(d) < 100:
             return
         sub = d[:: max(len(d) // 1500, 1)].astype(np.float32)

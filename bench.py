@@ -47,9 +47,10 @@ def main() -> None:
     depths = [jnp.asarray(d) for d in depths]
 
     # Local BA runs on a background thread in the reference and is excluded
-    # from its "Mean Tracking Time" metric (rgbd_tum.cc:159-166); measure the
-    # tracking path the same way.
-    tracker = Tracker(cfg, use_local_ba=False)
+    # from its "Mean Tracking Time" metric (rgbd_tum.cc:159-166); loop
+    # closing ships deactivated in the reference (LoopClosing.cc:57-101).
+    # Measure the tracking path under the same protocol.
+    tracker = Tracker(cfg, use_local_ba=False, use_loop_closing=False)
     # Warmup: initialize + compile every kernel in the loop (incl. the
     # wide-window recovery variant).
     for i in range(n_warm):

@@ -111,15 +111,35 @@ class LoopCloser:
         e_T.append(T_cand_cur)
         e_w.append(2.0)
 
+        # Fixed-capacity padding: a data-dependent graph size would recompile
+        # the jitted optimizer on every closure. Padding poses are fixed
+        # (free=False) identities; padding edges carry zero weight.
+        K_CAP = 1 << max(int(np.ceil(np.log2(max(K, 2)))), 4)
+        E_CAP = 2 * K_CAP
+        E = len(e_i)
+        if K > K_CAP or E > E_CAP:
+            return False
+        T_pad = np.tile(np.eye(4, dtype=np.float32), (K_CAP, 1, 1))
+        T_pad[:K] = T
+        free = np.zeros((K_CAP,), bool)
+        free[1:K] = True
+        ei = np.zeros((E_CAP,), np.int32)
+        ej = np.zeros((E_CAP,), np.int32)
+        eT = np.tile(np.eye(4, dtype=np.float32), (E_CAP, 1, 1))
+        ew = np.zeros((E_CAP,), np.float32)
+        ei[:E] = e_i
+        ej[:E] = e_j
+        eT[:E] = np.stack(e_T)
+        ew[:E] = e_w
         pg = PoseGraph(
-            T_cw=jnp.asarray(T),
-            free=jnp.asarray(np.arange(K) > 0),
-            e_i=jnp.asarray(np.array(e_i, np.int32)),
-            e_j=jnp.asarray(np.array(e_j, np.int32)),
-            e_Tij=jnp.asarray(np.stack(e_T).astype(np.float32)),
-            e_weight=jnp.asarray(np.array(e_w, np.float32)),
+            T_cw=jnp.asarray(T_pad),
+            free=jnp.asarray(free),
+            e_i=jnp.asarray(ei),
+            e_j=jnp.asarray(ej),
+            e_Tij=jnp.asarray(eT),
+            e_weight=jnp.asarray(ew),
         )
-        T_new = np.asarray(optimize_pose_graph(pg))
+        T_new = np.asarray(optimize_pose_graph(pg))[:K]
         if not np.isfinite(T_new).all():
             return False
 

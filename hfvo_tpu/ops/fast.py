@@ -94,8 +94,16 @@ def detect_grid_topk(
     3x3 NMS, per-`cell` top-1 bucketing, then global top-`n_keep`.
     """
     h, w = img.shape
-    s_low = fast_score(img, th_low)
-    s_high = fast_score(img, th_high)
+    if jax.default_backend() == "tpu":
+        # Fused Pallas kernel: ~30x faster than the jnp formulation on TPU
+        # (whole ring test in VMEM, no boolean intermediates in HBM).
+        from .pallas_fast import fast_score_pallas
+
+        s_low = fast_score_pallas(img, float(th_low))
+        s_high = fast_score_pallas(img, float(th_high))
+    else:
+        s_low = fast_score(img, th_low)
+        s_high = fast_score(img, th_high)
     # High-threshold corners dominate ordering; low-threshold ones fill gaps.
     score = fast_nms(jnp.where(s_high > 0, s_high + 1e4, s_low))
 

@@ -133,6 +133,14 @@ class VOSystem:
               for f in vm.keyframes.frame_id[ks]]
         trajectory.save_tum(path, ts, T_wc)
 
+    def save_trajectory_kitti(self, path: str) -> None:
+        """KITTI format: 12 numbers per line, row-major 3x4 of T_wc
+        (reference: System::SaveTrajectoryKITTI, src/System.cc:497)."""
+        T_wc = self.tracker.get_trajectory()
+        with open(path, "w") as f:
+            for T in T_wc:
+                f.write(" ".join(f"{v:.9e}" for v in T[:3].reshape(-1)) + "\n")
+
     def save_point_cloud_ply(self, path: str) -> None:
         """Map points as ASCII PLY (reference: System::SavePointCloud,
         src/System.cc:552)."""

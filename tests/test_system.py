@@ -95,3 +95,19 @@ def test_reset(short_sequence):
     assert system.times.n_frames == 0
     res = system.track_rgbd(grays[0], depths[0], 0.0)
     assert res.state.name == "OK"  # re-initializes
+
+
+def test_kitti_trajectory_saver(short_sequence, tmp_path):
+    import numpy as np
+
+    T_wc, grays, depths = short_sequence
+    system = VOSystem(config=tum3_config())
+    for i in range(4):
+        system.track_rgbd(grays[i], depths[i], i / 30.0)
+    p = os.path.join(tmp_path, "kitti.txt")
+    system.save_trajectory_kitti(p)
+    rows = [list(map(float, l.split())) for l in open(p)]
+    assert len(rows) == 4 and all(len(r) == 12 for r in rows)
+    # First pose R block orthonormal.
+    M = np.array(rows[0]).reshape(3, 4)
+    np.testing.assert_allclose(M[:3, :3] @ M[:3, :3].T, np.eye(3), atol=1e-4)

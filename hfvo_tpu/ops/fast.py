@@ -75,7 +75,7 @@ def fast_nms(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= maxpool2d_same(score, 3), score, 0.0)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def detect_grid_topk(
     img: jnp.ndarray,
     th_high: float,

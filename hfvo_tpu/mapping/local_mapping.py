@@ -183,6 +183,81 @@ class LocalMapper:
         self.n_ba_runs += 1
         return True
 
+    def fuse_points(self, radius_px: float = 2.0, max_desc: int = 30) -> int:
+        """Merge duplicate map points observed by the recent window.
+
+        (reference: LocalMapping::SearchInNeighbors -> ORBmatcher::Fuse,
+        src/LocalMapping.cc:1567, src/ORBmatcher.cc:838: project candidates
+        into neighbor keyframes and Replace on match.) Here: project every
+        windowed point into the newest keyframe, bucket by pixel cell, and
+        merge near-coincident points with close descriptors — the survivor
+        is the more-observed one, and keyframe observations re-point to it.
+        """
+        vm = self.vomap
+        kf_ids = np.nonzero(vm.keyframes.valid)[0]
+        if len(kf_ids) < 2:
+            return 0
+        newest = kf_ids[-1]
+        T = vm.keyframes.T_cw[newest]
+        cam = self.cfg.camera
+        ids = vm.local_point_ids(self.cfg.cap.local_kfs, self.cfg.cap.local_points)
+        if len(ids) < 2:
+            return 0
+        p = vm.points
+        X = p.X_w[ids]
+        Xc = (T[:3, :3] @ X.T).T + T[:3, 3]
+        z = Xc[:, 2]
+        vis = z > 0.1
+        u = cam.fx * Xc[:, 0] / np.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * Xc[:, 1] / np.maximum(z, 1e-6) + cam.cy
+        vis &= (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        cell = (np.floor(v / radius_px).astype(np.int64) * 10000
+                + np.floor(u / radius_px).astype(np.int64))
+        cell[~vis] = -1
+        # Only buckets that actually contain >= 2 points need the pairwise
+        # check — visit those few cells directly instead of scanning all.
+        vals, inverse, counts = np.unique(cell, return_inverse=True, return_counts=True)
+        dup_cell_idx = np.nonzero((counts >= 2) & (vals >= 0))[0]
+        if len(dup_cell_idx) == 0:
+            return 0
+        bits = np.unpackbits(p.desc[ids].view(np.uint8), axis=1)
+        remap = {}
+        for ci in dup_cell_idx:
+            bucket = np.nonzero(inverse == ci)[0]
+            if True:
+                for a_pos in range(len(bucket)):
+                    a = bucket[a_pos]
+                    ia = ids[a]
+                    if not p.valid[ia]:
+                        continue
+                    for b_pos in range(a_pos + 1, len(bucket)):
+                        b = bucket[b_pos]
+                        ib = ids[b]
+                        if not p.valid[ib] or abs(z[a] - z[b]) > 0.05:
+                            continue
+                        if int((bits[a] != bits[b]).sum()) > max_desc:
+                            continue
+                        keep, drop = (ia, ib) if p.n_obs[ia] >= p.n_obs[ib] else (ib, ia)
+                        remap[int(drop)] = int(keep)
+                        p.n_obs[keep] += p.n_obs[drop]
+                        p.n_found[keep] += p.n_found[drop]
+                        p.n_visible[keep] += p.n_visible[drop]
+                        p.valid[drop] = False
+        if remap:
+            # Resolve chains drop->keep->keep2, then one vectorized re-point.
+            def resolve(k):
+                while k in remap:
+                    k = remap[k]
+                return k
+
+            lut = np.arange(p.valid.shape[0], dtype=np.int32)
+            for d_, k_ in remap.items():
+                lut[d_] = resolve(k_)
+            pid = vm.keyframes.point_id
+            mask = pid >= 0
+            pid[mask] = lut[pid[mask]]
+        return len(remap)
+
     def cull_keyframes(self) -> int:
         """Drop keyframes whose points are >=90% observed by >=3 other KFs
         (reference: LocalMapping::KeyFrameCulling, src/LocalMapping.cc:1875).

@@ -330,6 +330,7 @@ class Tracker:
                     self._try_coarse_manhattan(depth)
                 self._create_keyframe(feats, pt_per_kp)
                 is_kf = True
+                self.mapper.fuse_points()
                 if self.use_local_ba:
                     self.mapper.run_local_ba()
                     # BA may have moved the newest KF (= this frame's pose).

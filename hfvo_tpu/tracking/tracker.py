@@ -689,10 +689,17 @@ class Tracker:
         new_mask = valid & (depth > 1e-3) & (pt_per_kp < 0)
         idx = np.nonzero(new_mask)[0]
         if len(idx):
-            from ..geometry.camera import unproject
-
-            X_c = np.asarray(
-                unproject(self.cfg.camera, jnp.asarray(uv[idx]), jnp.asarray(depth[idx]))
+            # Host numpy (a jnp call here would recompile per keyframe:
+            # idx length is data-dependent).
+            cam = self.cfg.camera
+            d_i = depth[idx]
+            X_c = np.stack(
+                [
+                    (uv[idx, 0] - cam.cx) / cam.fx * d_i,
+                    (uv[idx, 1] - cam.cy) / cam.fy * d_i,
+                    d_i,
+                ],
+                axis=1,
             )
             T_wc = np.linalg.inv(self.T_cw)
             X_w = (T_wc[:3, :3] @ X_c.T).T + T_wc[:3, 3]

@@ -43,8 +43,8 @@ def main() -> None:
     cfg = tum3_config()
     n_warm, n_timed = 8, 30
     T_wc, grays, depths = synthetic.render_sequence(n=n_warm + n_timed, seed=0)
-    grays = [jnp.asarray(g) for g in grays]
-    depths = [jnp.asarray(d) for d in depths]
+    # Keep frames as host arrays: track_rgbd uploads compact uint8/uint16
+    # itself; pre-uploaded float device arrays would round-trip the tunnel.
 
     # Local BA runs on a background thread in the reference and is excluded
     # from its "Mean Tracking Time" metric (rgbd_tum.cc:159-166); loop

@@ -84,7 +84,7 @@ class BatchTracker:
                     tr.velocity = (T_new @ np.linalg.inv(tr.T_cw)).astype(np.float32)
                     tr.T_cw = T_new
                     tr.state = TrackState.OK
-                    if tr._need_new_keyframe(n_in):
+                    if tr._need_new_keyframe(n_in, feats, pt_per_kp):
                         tr._create_keyframe(feats, pt_per_kp)
                         is_kf = True
                         if tr.use_local_ba:

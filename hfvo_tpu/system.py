@@ -77,7 +77,7 @@ class VOSystem:
             # Track against the frozen map: no KF insertion / BA (reference:
             # ActivateLocalizationMode, src/System.cc:297).
             old_need = self.tracker._need_new_keyframe
-            self.tracker._need_new_keyframe = lambda n: False  # type: ignore
+            self.tracker._need_new_keyframe = lambda n, f=None, p=None: False  # type: ignore
             try:
                 res = self.tracker.track_rgbd(gray, depth_m)
             finally:

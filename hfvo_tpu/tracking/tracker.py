@@ -88,8 +88,13 @@ def fused_track_step(
         )
         enough = manh_valid & (jnp.sum((sup > 30).astype(jnp.int32)) >= 2)
         R_prior = R_cm_ref @ R_wm.T
+        # The prior is a drift-correcting refinement of the prediction, not a
+        # replacement: if the mean shift jumped to a different basin (wrong
+        # axis lock), trust the motion model instead.
+        cos_rel = 0.5 * (jnp.trace(R_prior @ T_pred[:3, :3].T) - 1.0)
+        small_correction = cos_rel > jnp.cos(0.02)
         T_pred = jnp.where(
-            enough,
+            enough & small_correction,
             T_pred.at[:3, :3].set(R_prior),
             T_pred,
         )
@@ -250,6 +255,7 @@ class Tracker:
         self._snap = None
         self._last_line_out = None
         self._last_plane_out = None
+        self._last_n_matches = 0
         # World Manhattan rotation (columns = axes) once initialized
         # (reference: Map::SetWorldManhAxis, src/Map.cc:144).
         self.R_wm = np.eye(3, dtype=np.float32)
@@ -325,10 +331,16 @@ class Tracker:
             self.velocity = vel.astype(np.float32)
             self.T_cw = T_new.astype(np.float32)
             self.state = TrackState.OK
-            if self._need_new_keyframe(n_matches):
+            if self._need_new_keyframe(n_matches, feats, pt_per_kp):
                 if self.cfg.use_manhattan and not self.manh_valid:
                     self._try_coarse_manhattan(depth)
                 self._create_keyframe(feats, pt_per_kp)
+                # Reference ratio rule compares against the reference KF's
+                # *tracked* matches (mnMatchesInliers vs nRefMatches,
+                # src/Tracking.cc:2966-2985), not the total observation
+                # count — counting freshly created points makes every frame
+                # trip the 0.75 ratio and churns keyframes.
+                self.n_matches_ref_kf = max(n_matches, 1)
                 is_kf = True
                 self.mapper.fuse_points()
                 if self.use_local_ba:
@@ -518,6 +530,13 @@ class Tracker:
             self._last_plane_out = (seg, p_map_idx, p_kind, p_inlier)
 
         ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
+        # A sudden match collapse (>75% drop vs the previous frame) means the
+        # solution jumped basins even if the absolute count clears the gate —
+        # fail over to the recovery chain instead of accepting it.
+        if ok and self._last_n_matches > 0 and n_in < 0.25 * self._last_n_matches:
+            ok = False
+        if ok:
+            self._last_n_matches = n_in
         return ok, T_new.astype(np.float32), pt_per_kp, n_in, feats
 
     def _track_reference_kf(self, feats: FrameFeatures):
@@ -665,16 +684,31 @@ class Tracker:
             self.R_wm = (R_wc @ np.asarray(R_cm)).astype(np.float32)
             self.manh_valid = True
 
-    def _need_new_keyframe(self, n_matches: int) -> bool:
+    def _need_new_keyframe(self, n_matches: int, feats=None, pt_per_kp=None) -> bool:
         """(reference: Tracking::NeedNewKeyFrame, src/Tracking.cc:2923 —
-        frame-gap rule + tracked-ratio rule vs the reference keyframe)."""
+        frame-gap rule, tracked-ratio rule vs the reference keyframe, and the
+        RGB-D close-points condition `bNeedToInsertClose`
+        src/Tracking.cc:2966-2985)."""
         since = self.frame_id - self.last_kf_frame
         if since < max(self.cfg.tracking.min_frames_between_kf, 1):
             return False
         if since >= self.cfg.tracking.max_frames_between_kf:
             return True
         ratio_low = n_matches < 0.75 * max(self.n_matches_ref_kf, 1)
-        return ratio_low and n_matches > 15
+        need_close = False
+        if feats is not None and pt_per_kp is not None:
+            # Close = within the stereo-reliable depth band (bf*ThDepth/fx).
+            th_m = self.cfg.camera.bf * self.cfg.tracking.th_depth / self.cfg.camera.fx
+            depth = np.asarray(feats.depth)
+            valid = np.asarray(feats.valid)
+            close = valid & (depth > 1e-3) & (depth < th_m)
+            tracked_close = int((close & (pt_per_kp >= 0)).sum())
+            untracked_close = int((close & (pt_per_kp < 0)).sum())
+            need_close = tracked_close < 100 and untracked_close > 70
+        # Absolute coverage floor: matches decaying regardless of the ratio
+        # means the local map no longer covers the view.
+        coverage_low = n_matches < 300
+        return (ratio_low or need_close or coverage_low) and n_matches > 15
 
     def _create_keyframe(self, feats: FrameFeatures, pt_per_kp: np.ndarray):
         """Insert a keyframe; unmatched keypoints with depth become new map

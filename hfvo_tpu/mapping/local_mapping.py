@@ -31,6 +31,10 @@ class LocalMapper:
     # metric scale, so one fixed pose fully pins the gauge; fixing more
     # over-constrains the window when the frontier poses carry drift.
     n_fixed: int = 1
+    # Shard the BA across all visible devices (landmark-block Schur with
+    # psum over ICI, parallel/dist_ba.py). Point edges only; line-endpoint
+    # edges fall back to the single-device solver.
+    use_distributed: bool = False
 
     def run_local_ba(self) -> bool:
         """Optimize the recent keyframe window; returns True if BA ran.
@@ -150,7 +154,40 @@ class LocalMapper:
         )
         import jax
 
-        res = jax.device_get(local_bundle_adjustment(prob, self.cfg.camera))
+        if self.use_distributed and len(jax.devices()) > 1 and nle == 0:
+            from ..parallel.dist_ba import (
+                dist_local_bundle_adjustment,
+                shard_ba_problem,
+            )
+            from ..parallel.mesh import make_mesh
+
+            ndev = len(jax.devices())
+            mesh = make_mesh(n_edge=ndev, n_seq=1)
+            sp = shard_ba_problem(prob, ndev)
+            kf_T_d, pt_X_d, e_inl_d = dist_local_bundle_adjustment(
+                mesh, sp, self.cfg.camera
+            )
+            # Distributed edge order differs (grouped by landmark block);
+            # map inliers back through the original edge identity by
+            # re-gating on the final geometry with the single-device rule.
+            from ..solve.ba import BAResult, _edge_terms
+
+            import jax.numpy as _jnp
+
+            kf_T_j = _jnp.asarray(kf_T_d)
+            pt_X_j = _jnp.asarray(pt_X_d)
+            *_, chi2, okd = _edge_terms(prob, kf_T_j, pt_X_j, self.cfg.camera)
+            th = _jnp.where(prob.e_stereo, 7.815, 5.991)
+            res = BAResult(
+                kf_T_cw=kf_T_j,
+                pt_X=pt_X_j,
+                e_inlier=prob.e_valid & (chi2 <= th) & okd,
+                le_inlier=prob.le_valid & False,
+                chi2=_jnp.sum(_jnp.where(prob.e_valid, chi2, 0.0)),
+            )
+            res = jax.device_get(res)
+        else:
+            res = jax.device_get(local_bundle_adjustment(prob, self.cfg.camera))
 
         # Write back poses + points + line endpoints.
         T_new = np.asarray(res.kf_T_cw)[: len(window)]

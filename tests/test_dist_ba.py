@@ -68,3 +68,28 @@ def test_dist_ba_outlier_gating(rng, mesh):
     # Some edges rejected (outliers), most kept.
     frac = inl.sum() / np.asarray(sp.e_valid).sum()
     assert 0.6 < frac < 0.95
+
+
+def test_mapper_distributed_ba_end_to_end(rng, mesh):
+    """Tracker with the distributed BA flag produces a consistent trajectory
+    on the 8-device CPU mesh (points-only config: line edges fall back)."""
+    from hfvo_tpu.config import tum3_config
+    from hfvo_tpu.io import evaluate
+    from hfvo_tpu.testing import synthetic
+    from hfvo_tpu.tracking.tracker import Tracker
+
+    import dataclasses
+
+    cfg = tum3_config().replace(use_lines=False, use_planes=False, use_manhattan=False)
+    # Force frequent keyframes so local BA (gated at >3 KFs) runs.
+    cfg = cfg.replace(tracking=dataclasses.replace(cfg.tracking, max_frames_between_kf=2))
+    T_wc, grays, depths = synthetic.render_sequence(n=12, seed=0)
+    tr = Tracker(cfg, use_local_ba=True, use_loop_closing=False)
+    tr.mapper.use_distributed = True
+    for g, d in zip(grays, depths):
+        r = tr.track_rgbd(g, d, T_cw_init=np.linalg.inv(T_wc[0]))
+    assert tr.mapper.n_ba_runs >= 1
+    est = tr.get_trajectory()
+    ts = np.arange(len(est)) / 30.0
+    ape = evaluate.ate(ts, T_wc, ts, est, align="origin")
+    assert ape.rmse < 0.02, ape.rmse

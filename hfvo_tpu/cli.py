@@ -32,6 +32,14 @@ def main(argv=None) -> int:
         "--loader", choices=["auto", "native", "python"], default="auto",
         help="sequence loader: native C++ prefetcher or pure Python",
     )
+    ap.add_argument(
+        "--profile-dir", default=None,
+        help="capture a jax.profiler trace of the run into this directory "
+        "(the TPU replacement for the reference's chrono stage timers, "
+        "SURVEY.md §5.1)",
+    )
+    ap.add_argument("--checkpoint-out", default=None, help="save the final map state (npz)")
+    ap.add_argument("--checkpoint-in", default=None, help="resume from a saved map state")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,18 +71,37 @@ def main(argv=None) -> int:
     if frames is None:
         frames = tum.iterate_sequence(args.sequence, args.association, factor)
 
+    if args.checkpoint_in:
+        from .vomap.checkpoint import load_checkpoint
+
+        load_checkpoint(args.checkpoint_in, system.tracker)
+
+    profiling = False
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+        profiling = True
+
     n = 0
     t_start = time.perf_counter()
-    for ts, gray, depth in frames:
-        res = system.track_rgbd(gray, depth, ts)
-        n += 1
-        if n % 50 == 0:
-            print(f"frame {n}: state={res.state.name} matches={res.n_matches}")
-        if args.max_frames and n >= args.max_frames:
-            break
+    try:
+        for ts, gray, depth in frames:
+            res = system.track_rgbd(gray, depth, ts)
+            n += 1
+            if n % 50 == 0:
+                print(f"frame {n}: state={res.state.name} matches={res.n_matches}")
+            if args.max_frames and n >= args.max_frames:
+                break
+    finally:
+        if profiling:
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile_dir}")
     wall = time.perf_counter() - t_start
 
     system.shutdown()
+    if args.checkpoint_out:
+        from .vomap.checkpoint import save_checkpoint
+
+        save_checkpoint(args.checkpoint_out, system.tracker)
     system.save_trajectory_tum(args.out)
     if args.kf_out:
         system.save_keyframe_trajectory_tum(args.kf_out)

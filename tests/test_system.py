@@ -111,3 +111,33 @@ def test_kitti_trajectory_saver(short_sequence, tmp_path):
     # First pose R block orthonormal.
     M = np.array(rows[0]).reshape(3, 4)
     np.testing.assert_allclose(M[:3, :3] @ M[:3, :3].T, np.eye(3), atol=1e-4)
+
+
+def test_checkpoint_resume(short_sequence, tmp_path):
+    """Save mid-sequence, restore into a fresh tracker, keep tracking."""
+    import numpy as np
+
+    from hfvo_tpu.tracking.tracker import Tracker
+    from hfvo_tpu.vomap.checkpoint import load_checkpoint, save_checkpoint
+
+    T_wc, grays, depths = short_sequence
+    tr = Tracker(tum3_config(), use_local_ba=False)
+    for i in range(6):
+        tr.track_rgbd(grays[i], depths[i], T_cw_init=np.linalg.inv(T_wc[0]))
+    p = os.path.join(tmp_path, "map.npz")
+    save_checkpoint(p, tr)
+
+    tr2 = Tracker(tum3_config(), use_local_ba=False)
+    load_checkpoint(p, tr2)
+    assert tr2.vomap.n_keyframes() == tr.vomap.n_keyframes()
+    assert tr2.vomap.points.valid.sum() == tr.vomap.points.valid.sum()
+    # Resumed tracker continues tracking the sequence.
+    r = tr2.track_rgbd(grays[6], depths[6])
+    assert r.state.name == "OK"
+    import jax.numpy as jnp
+
+    from hfvo_tpu.geometry import se3
+
+    T_gt = np.linalg.inv(T_wc[6]).astype(np.float32)
+    err = np.abs(np.asarray(se3.log_se3(jnp.asarray(T_gt) @ se3.inv(jnp.asarray(r.T_cw)))))
+    assert err[:3].max() < 0.02, err

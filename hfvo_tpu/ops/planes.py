@@ -75,13 +75,16 @@ def segment_planes(
     Xb = blockify(cloud)  # (nby, nbx, B*B, 3)
     Vb = blockify(valid_px[..., None].astype(jnp.float32))[..., 0]  # (nby, nbx, B*B)
     n_valid = jnp.sum(Vb, axis=-1)  # (nby, nbx)
-    s1 = jnp.einsum("yxpc,yxp->yxc", Xb, Vb)  # sum X
-    s2 = jnp.einsum("yxpc,yxp,yxpd->yxcd", Xb, Vb, Xb)  # sum X X^T
+    n_safe = jnp.maximum(n_valid, 1.0)
+    # Two-pass block moments: covariance about each block's OWN mean. The
+    # one-pass E[XX^T] - mu mu^T form cancels catastrophically in float32
+    # for far/grazing geometry (|X|^2 ~ 100 vs in-plane variances ~ 1e-3)
+    # and tilts fitted normals by tenths of a degree.
+    mu_b = jnp.einsum("yxpc,yxp->yxc", Xb, Vb) / n_safe[..., None]
+    Xc = Xb - mu_b[..., None, :]
+    cov_b = jnp.einsum("yxpc,yxp,yxpd->yxcd", Xc, Vb, Xc) / n_safe[..., None, None]
 
-    def plane_from_moments(s1, s2, n):
-        n_safe = jnp.maximum(n, 1.0)
-        mu = s1 / n_safe[..., None]
-        cov = s2 / n_safe[..., None, None] - mu[..., :, None] * mu[..., None, :]
+    def plane_from_cov(mu, cov):
         evals, evecs = jnp.linalg.eigh(cov + 1e-10 * jnp.eye(3))
         normal = evecs[..., 0]  # smallest eigenvalue direction
         # Orient towards the camera (n . viewdir < 0 with viewdir = mu).
@@ -89,9 +92,10 @@ def segment_planes(
         normal = normal * sign
         d = -jnp.sum(normal * mu, axis=-1)
         mse = evals[..., 0]
-        return normal, d, mu, mse
+        return normal, d, mse
 
-    normal, d, mu, mse = plane_from_moments(s1, s2, n_valid)
+    normal, d, mse = plane_from_cov(mu_b, cov_b)
+    mu = mu_b
     # Block validity: enough depth + planar enough (depth-noise-scaled MSE,
     # PEAC's depth-dependent threshold; sigma_z ~ 0.0012 + 0.0019 (z-0.4)^2).
     sigma = 0.0012 + 0.0019 * (mu[..., 2] - 0.4) ** 2
@@ -146,14 +150,25 @@ def segment_planes(
 
     label, _ = jax.lax.scan(prop_once, label, None, length=N_PROP_ITERS)
 
-    # Per-label refit from additive moments.
+    # Per-label refit: merge block moments via the parallel-axis theorem
+    # (differences of nearby means stay small, so float32 is stable).
     flat_label = label.reshape(-1)
     nlbl = nby * nbx + 1
-    cnt = jnp.zeros((nlbl,)).at[flat_label].add(n_valid.reshape(-1))
-    S1 = jnp.zeros((nlbl, 3)).at[flat_label].add(s1.reshape(-1, 3))
-    S2 = jnp.zeros((nlbl, 3, 3)).at[flat_label].add(s2.reshape(-1, 3, 3))
+    w_blk = jnp.where(block_ok, n_valid, 0.0).reshape(-1)
+    cnt = jnp.zeros((nlbl,)).at[flat_label].add(w_blk)
+    cnt_safe = jnp.maximum(cnt, 1.0)
+    Mup = (
+        jnp.zeros((nlbl, 3)).at[flat_label].add(w_blk[:, None] * mu_b.reshape(-1, 3))
+        / cnt_safe[:, None]
+    )
+    dmu = mu_b.reshape(-1, 3) - Mup[flat_label]
+    S2c = jnp.zeros((nlbl, 3, 3)).at[flat_label].add(
+        w_blk[:, None, None]
+        * (cov_b.reshape(-1, 3, 3) + dmu[:, :, None] * dmu[:, None, :])
+    )
+    Cov_l = S2c / cnt_safe[:, None, None]
+    Np, Dp, _ = plane_from_cov(Mup, Cov_l)
     nblocks = jnp.zeros((nlbl,)).at[flat_label].add(block_ok.reshape(-1).astype(jnp.float32))
-    Np, Dp, Mup, _ = plane_from_moments(S1, S2, cnt)
     ok = (nblocks >= min_blocks) & (jnp.arange(nlbl) < nby * nbx)
 
     score = jnp.where(ok, cnt, -1.0)

@@ -141,67 +141,48 @@ def plane_edge_terms(
 ):
     """Residuals + Jacobians for the plane edge taxonomy.
 
-    kind 0: minimal 3-DoF (azimuth, elevation, distance) error like
-    `Plane3D::ominus` (reference: g2oAddition/Plane3D.h:99-113; EdgePlane).
-    kind 1: parallel-plane constraint |n_obs x n_pred| -> 0
-    (EdgeParallelPlane). kind 2: vertical-plane constraint
-    n_obs . n_pred -> 0 (EdgeVerticalPlane). Returns (r (N, 3), J (N, 3, 6),
-    comp (N, 3) active-component mask).
+    kind 0: full association — angle residual |n_obs x n_pred| (the sin of
+    the normal angle, replacing the reference's azimuth/elevation split of
+    `Plane3D::ominus`, g2oAddition/Plane3D.h:99-113: az/el Jacobians are
+    singular when the normal aligns with the optical axis, i.e. exactly the
+    camera-facing walls this system lives on) + distance residual
+    d_obs - d_pred. kind 1: parallel constraint |n_obs x n_pred|
+    (EdgeParallelPlane). kind 2: vertical constraint n_obs . n_pred
+    (EdgeVerticalPlane). Returns (r (N, 3), J (N, 3, 6), comp (N, 3)
+    active-component mask); weight layout is (angle, unused, distance).
     """
     pi_c, J_pi = plane_residual(T_cw, pi_w)  # (N, 4), (N, 4, 6)
     n = pi_c[..., :3]
-    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
-    rho2 = nx * nx + ny * ny
-    rho = jnp.sqrt(jnp.maximum(rho2, 1e-12))
-
-    # --- kind 0: full minimal error ------------------------------------
-    r_full = plane_minimal_error(pi_obs, pi_c)  # (N, 3)
-    daz_dn = jnp.stack(
-        [-ny / jnp.maximum(rho2, 1e-12), nx / jnp.maximum(rho2, 1e-12), jnp.zeros_like(nx)],
-        axis=-1,
-    )
-    del_dn = jnp.stack([-nx * nz / rho, -ny * nz / rho, rho], axis=-1)
     Jn = J_pi[..., :3, :]  # (N, 3, 6)
     Jd = J_pi[..., 3, :]  # (N, 6)
-    J_az = -jnp.einsum("ni,nij->nj", daz_dn, Jn)
-    J_el = -jnp.einsum("ni,nij->nj", del_dn, Jn)
-    J_d = -Jd
-    J_full = jnp.stack([J_az, J_el, J_d], axis=-2)  # (N, 3, 6)
 
-    # --- kind 1: parallel |n_obs x n_pred| ------------------------------
+    # Shared angle residual: |n_obs x n_pred|.
     n_obs = pi_obs[..., :3]
     cx = jnp.cross(n_obs, n)
     r_par = jnp.linalg.norm(cx, axis=-1)
-    # d r / d n = (hat(n_obs) n)^T hat(n_obs) / r
     hat_obs = se3.hat(n_obs)
     dr_dn = jnp.einsum("ni,nij->nj", cx, hat_obs) / jnp.maximum(r_par, 1e-9)[..., None]
     J_par = jnp.einsum("ni,nij->nj", dr_dn, Jn)
 
-    # --- kind 2: vertical n_obs . n_pred --------------------------------
+    # Distance residual (kind 0 only).
+    r_d = pi_obs[..., 3] - pi_c[..., 3]
+    J_d = -Jd
+
+    # Vertical: n_obs . n_pred.
     r_vert = jnp.sum(n_obs * n, axis=-1)
     J_vert = jnp.einsum("ni,nij->nj", n_obs, Jn)
 
-    is_full = (kind == 0)[..., None]
-    is_par = (kind == 1)[..., None]
-    r = jnp.where(
-        is_full,
-        r_full,
-        jnp.concatenate(
-            [jnp.where(is_par, r_par[..., None], r_vert[..., None]),
-             jnp.zeros_like(r_full[..., :2])],
-            axis=-1,
-        ),
+    is_full = kind == 0
+    is_par = kind == 1
+    r0 = jnp.where(is_par | is_full, r_par, r_vert)
+    J0 = jnp.where((is_par | is_full)[..., None], J_par, J_vert)
+    zeros = jnp.zeros_like(r0)
+    r = jnp.stack([r0, zeros, jnp.where(is_full, r_d, 0.0)], axis=-1)
+    J = jnp.stack(
+        [J0, jnp.zeros_like(J0), jnp.where(is_full[..., None], J_d, 0.0)], axis=-2
     )
-    J1 = jnp.where(is_par, J_par, J_vert)
-    J = jnp.where(
-        is_full[..., None],
-        J_full,
-        jnp.concatenate([J1[..., None, :], jnp.zeros_like(J_full[..., :2, :])], axis=-2),
-    )
-    comp = jnp.where(
-        is_full, jnp.ones_like(r_full), jnp.concatenate(
-            [jnp.ones_like(r_full[..., :1]), jnp.zeros_like(r_full[..., :2])], axis=-1
-        )
+    comp = jnp.stack(
+        [jnp.ones_like(r0), zeros, is_full.astype(r0.dtype)], axis=-1
     )
     return r, J, comp
 

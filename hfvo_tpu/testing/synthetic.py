@@ -34,21 +34,35 @@ _UVAXES = [(1, 2), (1, 2), (0, 2), (0, 2), (0, 1), (0, 1)]
 _UVSPAN = [(HY, HZ), (HY, HZ), (HX, HZ), (HX, HZ), (HX, HY), (HX, HY)]
 
 
-def make_room_textures(seed: int = 0, stripes: bool = True) -> np.ndarray:
-    """(6, TEX, TEX) float32 textures in [0, 255]."""
+def make_room_textures(
+    seed: int = 0, stripes: bool = True, low_texture: bool = False
+) -> np.ndarray:
+    """(6, TEX, TEX) float32 textures in [0, 255].
+
+    low_texture=True emulates the reference's target regime (fr3 structure/
+    notexture): near-uniform walls with only the structural stripes — few
+    FAST corners, so tracking must lean on lines/planes/Manhattan.
+    """
     rng = np.random.RandomState(seed)
     texs = []
     for f in range(6):
-        coarse = rng.uniform(60, 200, size=(TEX // 32, TEX // 32)).astype(np.float32)
-        t = np.asarray(
-            jax.image.resize(jnp.asarray(coarse), (TEX, TEX), "cubic")
-        ).copy()
-        # High-contrast blobs: strong FAST corners everywhere.
-        for _ in range(120):
-            cy, cx = rng.randint(8, TEX - 8, size=2)
-            s = rng.randint(3, 9)
-            val = rng.choice([15.0, 240.0])
-            t[cy : cy + s, cx : cx + s] = val
+        if low_texture:
+            # Gentle large-scale shading only: almost no corners.
+            coarse = rng.uniform(120, 150, size=(4, 4)).astype(np.float32)
+            t = np.asarray(
+                jax.image.resize(jnp.asarray(coarse), (TEX, TEX), "cubic")
+            ).copy()
+        else:
+            coarse = rng.uniform(60, 200, size=(TEX // 32, TEX // 32)).astype(np.float32)
+            t = np.asarray(
+                jax.image.resize(jnp.asarray(coarse), (TEX, TEX), "cubic")
+            ).copy()
+            # High-contrast blobs: strong FAST corners everywhere.
+            for _ in range(120):
+                cy, cx = rng.randint(8, TEX - 8, size=2)
+                s = rng.randint(3, 9)
+                val = rng.choice([15.0, 240.0])
+                t[cy : cy + s, cx : cx + s] = val
         if stripes:
             # Dark stripes parallel to texture axes -> straight 3D lines on
             # the face, for the line-feature pipeline.
@@ -67,8 +81,12 @@ class RoomScene(NamedTuple):
     textures: jnp.ndarray  # (6, TEX, TEX)
 
 
-def make_room(seed: int = 0, stripes: bool = True) -> RoomScene:
-    return RoomScene(textures=jnp.asarray(make_room_textures(seed, stripes)))
+def make_room(
+    seed: int = 0, stripes: bool = True, low_texture: bool = False
+) -> RoomScene:
+    return RoomScene(
+        textures=jnp.asarray(make_room_textures(seed, stripes, low_texture))
+    )
 
 
 def render(

@@ -122,23 +122,35 @@ def search_lines_by_projection(
     Q1c = se3.transform(T_cw, ml_X1)
     q0 = camera.project(intr, Q0c)
     q1 = camera.project(intr, Q1c)
-    vis = (
-        ml_valid
-        & (Q0c[:, 2] > 0.1)
-        & (Q1c[:, 2] > 0.1)
-        & (camera.in_image(intr, q0) | camera.in_image(intr, q1))
-    )
-    mid_m = 0.5 * (q0 + q1)  # (L, 2)
+    # No in-image endpoint requirement: a long map line can cross the view
+    # with both endpoints projecting outside the frame (full-wall stripes do
+    # this constantly); the perpendicular-distance + overlap gates below
+    # carry the geometric validity.
+    vis = ml_valid & (Q0c[:, 2] > 0.1) & (Q1c[:, 2] > 0.1)
     dir_m = q1 - q0
+    len_m = jnp.linalg.norm(dir_m, axis=-1) + 1e-9
+    u_m = dir_m / len_m[:, None]
     ang_m = jnp.arctan2(dir_m[:, 1], dir_m[:, 0])
 
     mid_f = 0.5 * (ln_p0 + ln_p1)  # (M, 2)
     dir_f = ln_p1 - ln_p0
     ang_f = jnp.arctan2(dir_f[:, 1], dir_f[:, 0])
 
-    dm = jnp.linalg.norm(mid_m[:, None, :] - mid_f[None, :, :], axis=-1)
+    # Gates robust to partial detections (a half-detected segment's midpoint
+    # can be far from the projected map-line midpoint): perpendicular
+    # distance of the detected midpoint to the projected infinite line, plus
+    # along-line overlap with margin, plus directional angle.
+    n_m = jnp.stack([-u_m[:, 1], u_m[:, 0]], axis=1)  # (L, 2)
+    rel = mid_f[None, :, :] - q0[:, None, :]  # (L, M, 2)
+    d_perp = jnp.abs(jnp.einsum("lmc,lc->lm", rel, n_m))
+    t_along = jnp.einsum("lmc,lc->lm", rel, u_m)
+    margin = 40.0
+    overlap = (t_along > -margin) & (t_along < len_m[:, None] + margin)
     da = jnp.abs(((ang_m[:, None] - ang_f[None, :]) + jnp.pi) % (2 * jnp.pi) - jnp.pi)
-    mask = vis[:, None] & ln_valid[None, :] & (dm < radius) & (da < max_angle)
+    mask = (
+        vis[:, None] & ln_valid[None, :]
+        & (d_perp < radius) & overlap & (da < max_angle)
+    )
 
     D = line_distance_matrix(ml_desc, ln_desc)  # (L, M) in [0, 2]
     Di = jnp.clip((D * 1000).astype(jnp.int32), 0, 2000)

@@ -1,0 +1,43 @@
+"""The reference's headline regime: low-texture scenes where point-only
+VO degrades and lines/planes/Manhattan must carry tracking."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hfvo_tpu.config import tum3_config
+from hfvo_tpu.io import evaluate
+from hfvo_tpu.testing import synthetic
+from hfvo_tpu.tracking.tracker import Tracker
+
+
+@pytest.fixture(scope="module")
+def low_texture_frames():
+    T_wc = synthetic.orbit_trajectory(20)
+    scene = synthetic.make_room(0, low_texture=True)
+    frames = []
+    for i in range(20):
+        g, d = synthetic.render_jit(scene, tum3_config().camera, jnp.asarray(T_wc[i]))
+        frames.append((np.asarray(g), np.asarray(d)))
+    return T_wc, frames
+
+
+def _run(cfg, T_wc, frames):
+    tr = Tracker(cfg, use_local_ba=True)
+    for g, d in frames:
+        tr.track_rgbd(g, d, T_cw_init=np.linalg.inv(T_wc[0]))
+    est = tr.get_trajectory()
+    ts = np.arange(len(est)) / 30.0
+    return evaluate.ate(ts, T_wc[: len(est)], ts, est, align="origin").rmse
+
+
+def test_hybrid_beats_points_only_in_low_texture(low_texture_frames):
+    T_wc, frames = low_texture_frames
+    ate_pts = _run(
+        tum3_config().replace(use_lines=False, use_planes=False, use_manhattan=False),
+        T_wc, frames,
+    )
+    ate_full = _run(tum3_config(), T_wc, frames)
+    # The hybrid's whole point: structural features must help substantially
+    # where corners are scarce.
+    assert ate_full < 0.6 * ate_pts, (ate_full, ate_pts)
+    assert ate_full < 0.25, ate_full  # round-1 bound; tighten as it improves

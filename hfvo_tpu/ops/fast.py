@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .image import maxpool2d_same
+from .image import gaussian_blur, maxpool2d_same, sobel_gradients
 
 # Bresenham circle of radius 3, 16 points, clockwise from 12 o'clock, as
 # (dy, dx) offsets.
@@ -75,6 +75,25 @@ def fast_nms(score: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(score >= maxpool2d_same(score, 3), score, 0.0)
 
 
+def shi_tomasi_min_eig(img: jnp.ndarray) -> jnp.ndarray:
+    """Min eigenvalue of the smoothed gradient structure tensor.
+
+    Straight edges have lambda_min ~ 0 while true corners have both
+    eigenvalues large; FAST's arc test alone fires along high-contrast
+    straight edges (aliasing), where descriptors are identical along the
+    edge and matches slide (the aperture problem — the exact failure the
+    reference's line features exist to absorb).
+    """
+    gx, gy = sobel_gradients(img)
+    sxx = gaussian_blur(gx * gx, 1.5, 2)
+    syy = gaussian_blur(gy * gy, 1.5, 2)
+    sxy = gaussian_blur(gx * gy, 1.5, 2)
+    tr = sxx + syy
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr * tr * 0.25 - det, 0.0))
+    return tr * 0.5 - disc
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
 def detect_grid_topk(
     img: jnp.ndarray,
@@ -106,6 +125,11 @@ def detect_grid_topk(
         s_high = fast_score(img, th_high)
     # High-threshold corners dominate ordering; low-threshold ones fill gaps.
     score = fast_nms(jnp.where(s_high > 0, s_high + 1e4, s_low))
+    # Edge suppression: reject responses whose structure tensor is
+    # edge-like (lambda_min small relative to lambda-scale); keeps corners
+    # and stripe crossings, kills slide-prone points along straight edges.
+    lam_min = shi_tomasi_min_eig(img)
+    score = jnp.where(lam_min > 20.0, score, 0.0)
 
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

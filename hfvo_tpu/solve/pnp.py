@@ -64,7 +64,12 @@ def pnp_ransac(
     seed: jnp.ndarray,
     reproj_th: float = 5.0,
     min_inliers: int = 12,
+    T_init: jnp.ndarray | None = None,
 ) -> PnPResult:
+    """`T_init` (4, 4) joins the hypothesis pool when given — a coarse prior
+    (e.g. the retrieved keyframe's pose during relocalization) covers the
+    planar scenes where the 6-point DLT is degenerate (EPnP's planar branch
+    in the reference plays the same role, src/PnPsolver.cc)."""
     N = X_w.shape[0]
     f = jnp.array([intr.fx, intr.fy])
     c = jnp.array([intr.cx, intr.cy])
@@ -75,6 +80,8 @@ def pnp_ransac(
     p = p / jnp.maximum(jnp.sum(p), 1.0)
     idx = jax.random.choice(key, N, shape=(N_HYP, MIN_SET), replace=True, p=p)
     T_h = jax.vmap(_dlt_pose)(X_w[idx], xy_n[idx])  # (H, 4, 4)
+    if T_init is not None:
+        T_h = jnp.concatenate([T_h, T_init[None]], axis=0)
 
     X_c = jnp.einsum("hij,nj->hni", T_h[:, :3, :3], X_w) + T_h[:, None, :3, 3]
     proj = camera.project(intr, X_c)  # (H, N, 2)

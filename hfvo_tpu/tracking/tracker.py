@@ -628,6 +628,7 @@ class Tracker:
                 res = pnp_ransac(
                     jnp.asarray(Xa), feats.uv, jnp.asarray(matched),
                     self.cfg.camera, jnp.asarray(np.uint32(self.frame_id)),
+                    T_init=jnp.asarray(kf.T_cw[k]),
                 )
                 if bool(res.ok):
                     return np.asarray(res.T_cw).astype(np.float32)

@@ -35,6 +35,7 @@ class LocalMapper:
     # psum over ICI, parallel/dist_ba.py). Point edges only; line-endpoint
     # edges fall back to the single-device solver.
     use_distributed: bool = False
+    _kf_db: object = None  # KeyFrameDatabase for erase-on-cull (set by Tracker)
 
     def run_local_ba(self) -> bool:
         """Optimize the recent keyframe window; returns True if BA ran.
@@ -319,4 +320,8 @@ class LocalMapper:
                 kf.point_id[k] = -1
                 kf.valid[k] = False
                 culled += 1
+        if culled and self._kf_db is not None:
+            for k in kf_ids[2:-2]:
+                if not kf.valid[k]:
+                    self._kf_db.erase(int(k))
         return culled

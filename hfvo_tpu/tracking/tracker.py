@@ -265,6 +265,7 @@ class Tracker:
         from ..mapping.loop_closing import LoopCloser
 
         self.loop_closer = LoopCloser(self.cfg, self.vomap)
+        self.mapper._kf_db = self.kf_db
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
@@ -353,6 +354,10 @@ class Tracker:
                     self.T_cw = self.vomap.keyframes.T_cw[
                         self.vomap.next_kf_slot - 1
                     ].copy()
+                # Redundant-keyframe culling every few insertions
+                # (reference: LocalMapping::KeyFrameCulling runs per KF).
+                if self.vomap.n_keyframes() % 4 == 0:
+                    self.mapper.cull_keyframes()
                 self.invalidate_map_snapshot()
         else:
             self.state = TrackState.LOST

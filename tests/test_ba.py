@@ -122,3 +122,61 @@ def test_ba_unobserved_points_stable(rng):
     np.testing.assert_allclose(
         np.asarray(res.pt_X)[50:], np.asarray(prob.pt_X)[50:], atol=1e-6
     )
+
+
+def test_ba_line_endpoint_edges(rng):
+    """Line-endpoint landmarks with point-to-2D-line edges: BA should
+    recover perturbed endpoints and poses using line constraints."""
+    from hfvo_tpu.geometry import camera
+
+    K, P_pts, n_lines = 4, 60, 30
+    # Point scaffolding (anchors the gauge + scale).
+    prob0, T_gt, X_gt, _ = make_ba_problem(rng, K=K, P=P_pts, pose_noise=0.02,
+                                           pt_noise=0.02, obs_noise=0.2)
+    # 3D lines: endpoints appended as landmarks after the points.
+    L0 = np.stack([rng.uniform(-2, 2, n_lines), rng.uniform(-1.5, 1.5, n_lines),
+                   rng.uniform(3.5, 6, n_lines)], 1).astype(np.float32)
+    d = rng.normal(size=(n_lines, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    L1 = L0 + d * rng.uniform(0.5, 1.2, (n_lines, 1)).astype(np.float32)
+
+    le_kf, le_lm, le_l2d = [], [], []
+    for k in range(K):
+        uv0 = np.array(camera.project(INTR, se3.transform(jnp.asarray(T_gt[k]), jnp.asarray(L0))))
+        uv1 = np.array(camera.project(INTR, se3.transform(jnp.asarray(T_gt[k]), jnp.asarray(L1))))
+        dd = uv1 - uv0
+        n = np.stack([-dd[:, 1], dd[:, 0]], 1)
+        n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-9
+        c = -(n * uv0).sum(1)
+        l2d = np.concatenate([n, c[:, None]], 1).astype(np.float32)
+        for i in range(n_lines):
+            le_kf += [k, k]
+            le_lm += [P_pts + i, P_pts + n_lines + i]
+            le_l2d += [l2d[i], l2d[i]]
+    El = len(le_kf)
+
+    lm_X = np.concatenate([
+        np.asarray(prob0.pt_X)[:P_pts],
+        L0 + rng.normal(size=(n_lines, 3)).astype(np.float32) * 0.03,
+        L1 + rng.normal(size=(n_lines, 3)).astype(np.float32) * 0.03,
+    ])
+    P_total = P_pts + 2 * n_lines
+    prob = prob0._replace(
+        pt_X=jnp.asarray(lm_X),
+        pt_valid=jnp.ones((P_total,), bool),
+        le_kf=jnp.asarray(np.array(le_kf, np.int32)),
+        le_lm=jnp.asarray(np.array(le_lm, np.int32)),
+        le_line2d=jnp.asarray(np.stack(le_l2d)),
+        le_inv_sigma2=jnp.ones((El,)),
+        le_valid=jnp.ones((El,), bool),
+    )
+    res = local_bundle_adjustment(prob, INTR)
+    # Endpoints should return to (near) the true 3D lines: perpendicular
+    # distance of optimized endpoints to the GT infinite lines.
+    X_opt = np.asarray(res.pt_X)
+    E0 = X_opt[P_pts : P_pts + n_lines]
+    rel = E0 - L0
+    perp = rel - (rel * d).sum(1, keepdims=True) * d
+    dist0 = np.linalg.norm(perp, axis=1)
+    assert np.median(dist0) < 0.012, np.median(dist0)
+    assert bool(np.asarray(res.le_inlier).mean() > 0.9)

@@ -81,6 +81,19 @@ class ManhattanConfig:
     meanshift_kernel: float = 20.0  # exp(-20 * ||x||^2) (Tracking.cc:1161)
     coarse_success_rate: float = 0.95  # reference: src/Tracking.cc:573
     coarse_hypotheses: int = 64  # random-rotation hypotheses for coarse init
+    # Per-axis rotation anchors in the pose LM (framework addition; the
+    # mean-shift axis directions are absolute so they pin the (t_x, r_y)
+    # valley — see solve/lm.py pose_optimization).
+    rot_prior_weight: float = 800.0  # information per supporting normal
+    # (1/sigma^2 with sigma ~ 2 degrees per normal; total anchor weight
+    # scales with support so a wall of normals outvotes a handful of
+    # confidently-wrong point matches, while sparse support defers to them)
+    rot_prior_bias: float = 3e-3  # rad; mean-shift systematic error floor.
+    # Random noise averages out over N normals but the systematic bias
+    # doesn't, so axis information saturates at 1/bias^2:
+    # w = w0*sup / (1 + w0*sup*bias^2).
+    rot_prior_max_correction: float = 0.09  # rad; reject basin jumps
+    rot_prior_min_support: int = 100  # normals within cone to trust an axis
 
 
 @dataclass(frozen=True)
@@ -98,6 +111,12 @@ class TrackingConfig:
     chi2_mono: float = 5.991
     chi2_stereo: float = 7.815
     chi2_line: float = 3.84
+    # Metric 3D point residual (framework addition; rescues points-only
+    # tracking in planar views — see solve/lm.py PoseObs). 0 disables;
+    # off by default because the full hybrid recovers better through its
+    # line/plane edges (the 3D term anchors to drifted map points).
+    chi2_3d: float = 7.815
+    inv_sigma2_3d: float = 0.0
 
 
 @dataclass(frozen=True)

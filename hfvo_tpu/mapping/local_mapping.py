@@ -36,6 +36,11 @@ class LocalMapper:
     # edges fall back to the single-device solver.
     use_distributed: bool = False
     _kf_db: object = None  # KeyFrameDatabase for erase-on-cull (set by Tracker)
+    # World Manhattan rotation (columns = axes) + validity, mirrored from
+    # the Tracker once the Manhattan frame initializes; enables per-KF axis
+    # anchors in the BA window.
+    R_wm: np.ndarray | None = None
+    manh_valid: bool = False
 
     def run_local_ba(self) -> bool:
         """Optimize the recent keyframe window; returns True if BA ran.
@@ -134,6 +139,38 @@ class LocalMapper:
         nle = min(len(le_kf), El)
         le_kf, le_lm, le_l2d = le_kf[:nle], le_lm[:nle], le_l2d[:nle]
 
+        # Per-KF Manhattan axis anchors: reprojection-only BA shares the
+        # per-frame (t_x, r_y) planar-view valley and can walk keyframe
+        # poses along it (observed: online tracking fine, BA retroactively
+        # degrading early KFs by 100-300 mm in low-texture scenes). The
+        # axes each KF measured absolutely from its normals pin the
+        # window's rotations. Same gates as the tracker's anchors.
+        axes_kwargs = {}
+        if self.manh_valid and self.cfg.use_manhattan and self.R_wm is not None:
+            mc = self.cfg.manhattan
+            axc = kf.axes_c[window].astype(np.float32)  # (k, 3, 3)
+            sup = kf.axes_sup[window].astype(np.float32)  # (k, 3)
+            axes_w = self.R_wm.T.astype(np.float32)  # rows = world axes
+            pred = np.einsum(
+                "kij,aj->kai", kf.T_cw[window][:, :3, :3], axes_w
+            )
+            cos_ax = np.sum(pred * axc, axis=-1)
+            ok = (sup >= mc.rot_prior_min_support) & (
+                cos_ax > np.cos(mc.rot_prior_max_correction)
+            )
+            w_raw = mc.rot_prior_weight * sup
+            w_sat = w_raw / (1.0 + w_raw * mc.rot_prior_bias**2)
+            w = np.where(ok, w_sat, 0.0).astype(np.float32)
+            axc_full = np.zeros((K, 3, 3), np.float32)
+            axc_full[: len(window)] = axc
+            w_full = np.zeros((K, 3), np.float32)
+            w_full[: len(window)] = w
+            axes_kwargs = dict(
+                kf_axes_c=jnp.asarray(axc_full),
+                kf_axes_w=jnp.asarray(axes_w),
+                kf_w_axis=jnp.asarray(w_full),
+            )
+
         prob = BAProblem(
             kf_T_cw=jnp.asarray(T_full),
             kf_free=jnp.asarray(free),
@@ -152,6 +189,7 @@ class LocalMapper:
             le_line2d=jnp.asarray(pad(le_l2d, El)),
             le_inv_sigma2=jnp.asarray(pad(np.ones(nle, np.float32), El)),
             le_valid=jnp.asarray(pad(np.ones(nle, bool), El)),
+            **axes_kwargs,
         )
         import jax
 

@@ -40,6 +40,50 @@ def _fold(dirs: jnp.ndarray, axis: jnp.ndarray) -> jnp.ndarray:
     return dirs * jnp.where(s == 0, 1.0, s)
 
 
+def _meanshift_axes(R, dirs, weights, cone, kernel):
+    """One mean-shift step per axis; returns (rows-of-axes (3, 3), support
+    counts (3,)) WITHOUT cross-completion or re-orthonormalization — each
+    row is exactly what the observations measured for that axis."""
+    cos_cone = jnp.cos(cone)
+    axes = R.T  # (3, 3) rows = axes
+    new_axes = []
+    supports = []
+    for a in range(3):
+        axis = axes[a]
+        d = _fold(dirs, axis)
+        cosang = jnp.sum(d * axis, axis=-1)
+        gate = (cosang > cos_cone) & (weights > 0)
+        # Tangent-plane projection (reference ProjectSN2MF): express the
+        # residual of each gated direction in the plane orthogonal to
+        # the axis.
+        perp = d - cosang[:, None] * axis[None, :]
+        # Gaussian kernel on tangent magnitude.
+        w = jnp.where(gate, weights * jnp.exp(-kernel * jnp.sum(perp * perp, axis=-1)), 0.0)
+        sw = jnp.sum(w)
+        shift = jnp.sum(w[:, None] * perp, axis=0) / jnp.maximum(sw, 1e-9)
+        new_axis = axis + shift
+        new_axis = new_axis / (jnp.linalg.norm(new_axis) + 1e-12)
+        has = sw > 1e-6
+        new_axes.append(jnp.where(has, new_axis, axis))
+        supports.append(jnp.sum(gate.astype(jnp.int32)))
+    return jnp.stack(new_axes), jnp.stack(supports)
+
+
+def measure_axes(
+    R_cm: jnp.ndarray,
+    dirs: jnp.ndarray,
+    weights: jnp.ndarray,
+    cone: jnp.ndarray | float = 0.2018,
+    kernel: float = 20.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-axis mean-shift measurement (rows = measured axis directions in
+    the camera frame, support counts). Unlike refine_axes, no joint
+    orthonormalization: a weakly-supported axis cannot corrupt a
+    well-supported one, so the rows are usable as independent direction
+    anchors (one wall normal pins 2 rotation DOF by itself)."""
+    return _meanshift_axes(R_cm, dirs, weights, cone, kernel)
+
+
 @partial(jax.jit, static_argnames=("n_iters", "kernel"))
 def refine_axes(
     R_cm: jnp.ndarray,  # (3, 3) columns = Manhattan axes in camera frame
@@ -53,32 +97,8 @@ def refine_axes(
 
     Returns (R_cm_refined (3, 3), per-axis support counts (3,)).
     """
-    cos_cone = jnp.cos(cone)
-
     def one_iter(R, _):
-        axes = R.T  # (3, 3) rows = axes
-        new_axes = []
-        supports = []
-        for a in range(3):
-            axis = axes[a]
-            d = _fold(dirs, axis)
-            cosang = jnp.sum(d * axis, axis=-1)
-            gate = (cosang > cos_cone) & (weights > 0)
-            # Tangent-plane projection (reference ProjectSN2MF): express the
-            # residual of each gated direction in the plane orthogonal to
-            # the axis.
-            perp = d - cosang[:, None] * axis[None, :]
-            # Gaussian kernel on tangent magnitude.
-            w = jnp.where(gate, weights * jnp.exp(-kernel * jnp.sum(perp * perp, axis=-1)), 0.0)
-            sw = jnp.sum(w)
-            shift = jnp.sum(w[:, None] * perp, axis=0) / jnp.maximum(sw, 1e-9)
-            new_axis = axis + shift
-            new_axis = new_axis / (jnp.linalg.norm(new_axis) + 1e-12)
-            has = sw > 1e-6
-            new_axes.append(jnp.where(has, new_axis, axis))
-            supports.append(jnp.sum(gate.astype(jnp.int32)))
-        A = jnp.stack(new_axes)  # rows = axes
-        sup = jnp.stack(supports)
+        A, sup = _meanshift_axes(R, dirs, weights, cone, kernel)
         # Missing-axis completion by cross products (keep handedness).
         s0, s1, s2 = sup[0] > 0, sup[1] > 0, sup[2] > 0
         a0 = jnp.where(s0, A[0], _unit(jnp.cross(A[1], A[2])))

@@ -57,6 +57,15 @@ class BAProblem(NamedTuple):
     le_line2d: jnp.ndarray  # (El, 3) normalized (a, b, c)
     le_inv_sigma2: jnp.ndarray  # (El,)
     le_valid: jnp.ndarray  # (El,) bool
+    # Per-KF Manhattan axis anchors (see solve/lm.py pose_optimization):
+    # row a of kf_axes_c[k] is the axis direction measured in KF k's camera
+    # frame, kf_axes_w rows the matching world directions, kf_w_axis the
+    # per-axis information (0 disables). Reprojection-only BA shares the
+    # per-frame (t_x, r_y) planar-view valley; these absolute anchors pin
+    # the window's rotations so BA cannot walk keyframes along it.
+    kf_axes_c: jnp.ndarray | None = None  # (K, 3, 3)
+    kf_axes_w: jnp.ndarray | None = None  # (3, 3)
+    kf_w_axis: jnp.ndarray | None = None  # (K, 3)
 
     @staticmethod
     def empty_line_edges(n: int = 1):
@@ -151,14 +160,39 @@ def _build_blocks(
     bp = bp.at[prob.le_kf].add(jnp.einsum("eki,ek->ei", Jpl, Wl * rl))
     bl = bl.at[prob.le_lm].add(jnp.einsum("eki,ek->ei", Jxl, Wl * rl))
     total_chi2 = total_chi2 + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0))
+
+    if prob.kf_axes_c is not None:
+        r_ax, J_ax = _axis_anchor_terms(prob, kf_T)
+        wa = prob.kf_w_axis  # (K, 3)
+        Hpp = Hpp.at[:, 3:, 3:].add(
+            jnp.einsum("kaci,ka,kacj->kij", J_ax, wa, J_ax)
+        )
+        bp = bp.at[:, 3:].add(
+            jnp.einsum("kaci,kac->ki", J_ax, wa[:, :, None] * r_ax)
+        )
+        total_chi2 = total_chi2 + jnp.sum(wa * jnp.sum(r_ax * r_ax, axis=-1))
     return Hpp, Hll, U, bp, bl, total_chi2
+
+
+def _axis_anchor_terms(prob: BAProblem, kf_T):
+    """Per-KF axis-direction anchor residuals r (K,3,3) and rotation-block
+    Jacobians -hat(v) (K,3,3,3); v_{k,a} = R_k a_w,a."""
+    R = kf_T[:, :3, :3]
+    V = jnp.einsum("kij,aj->kai", R, prob.kf_axes_w)  # (K, 3axes, 3)
+    r_ax = V - prob.kf_axes_c
+    J_ax = -se3.hat(V)
+    return r_ax, J_ax
 
 
 def _chi2_total(prob: BAProblem, kf_T, pt_X, intr, e_active, le_active):
     *_, chi2, okd = _edge_terms(prob, kf_T, pt_X, intr)
     t = jnp.sum(jnp.where(e_active & okd, chi2, 0.0))
     *_, chi2l, okdl = _line_edge_terms(prob, kf_T, pt_X, intr)
-    return t + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0))
+    t = t + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0))
+    if prob.kf_axes_c is not None:
+        r_ax, _ = _axis_anchor_terms(prob, kf_T)
+        t = t + jnp.sum(prob.kf_w_axis * jnp.sum(r_ax * r_ax, axis=-1))
+    return t
 
 
 def _schur_solve(prob, Hpp, Hll, U, bp, bl, lam):

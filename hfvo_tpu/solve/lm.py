@@ -25,6 +25,14 @@ class PoseObs(NamedTuple):
 
     obs rows are (u, v, u_r); `is_stereo` zeroes the u_r component for mono
     edges. `inv_sigma2` is the per-edge information scale (1/1.2^(2*octave)).
+
+    `X_c_obs` (optional) carries the depth-measured 3D point in the camera
+    frame for a direct 3D alignment residual `T X_w - X_c_obs`. Pure image
+    residuals are degenerate along the (t_x, r_y)/(t_y, r_x) valleys when
+    all features lie near one fronto-parallel plane (the displacement of
+    every pixel cancels at the plane depth, and u_r only resists with
+    ~bf/z^2 leverage); the metric 3D term breaks that valley with the full
+    depth information RGB-D actually provides.
     """
 
     X_w: jnp.ndarray  # (N, 3)
@@ -32,6 +40,8 @@ class PoseObs(NamedTuple):
     is_stereo: jnp.ndarray  # (N,) bool
     inv_sigma2: jnp.ndarray  # (N,)
     valid: jnp.ndarray  # (N,) bool
+    X_c_obs: jnp.ndarray | None = None  # (N, 3) depth-measured camera points
+    valid_3d: jnp.ndarray | None = None  # (N,) restrict 3D edges (default is_stereo)
 
 
 class LineObs(NamedTuple):
@@ -106,6 +116,17 @@ def _point_terms(T, pts: PoseObs, intr):
     return r, J, comp, chi2, ok_depth
 
 
+def _point3d_terms(T, pts: PoseObs, inv_sigma2_3d: float):
+    """Metric 3D alignment residual r = T X_w - X_c_obs (N, 3)."""
+    X_c = se3.transform(T, pts.X_w)
+    r = X_c - pts.X_c_obs
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), r.shape[:-1] + (3, 3))
+    J = jnp.concatenate([eye, -se3.hat(X_c)], axis=-1)  # (N, 3, 6)
+    has = pts.is_stereo if pts.valid_3d is None else pts.valid_3d
+    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2_3d
+    return r, J, chi2, has
+
+
 def _line_terms(T, lines: LineObs, intr):
     r, J, z = residuals.line_endpoint_residual(T, lines.X_w, lines.line2d, intr)
     chi2 = (r[..., 0] ** 2) * lines.inv_sigma2
@@ -124,7 +145,10 @@ from functools import partial
 
 @partial(
     jax.jit,
-    static_argnames=("n_rounds", "n_iters", "chi2_mono", "chi2_stereo", "chi2_line"),
+    static_argnames=(
+        "n_rounds", "n_iters", "chi2_mono", "chi2_stereo", "chi2_line",
+        "chi2_3d", "inv_sigma2_3d",
+    ),
 )
 def pose_optimization(
     T_cw0: jnp.ndarray,
@@ -132,29 +156,48 @@ def pose_optimization(
     intr: Intrinsics,
     lines: LineObs | None = None,
     planes: PlaneObs | None = None,
+    axes_c: jnp.ndarray | None = None,
+    axes_w: jnp.ndarray | None = None,
+    w_axis: jnp.ndarray | float = 0.0,
     n_rounds: int = 4,
     n_iters: int = 10,
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
     chi2_line: float = 3.84,
+    chi2_3d: float = 7.815,
+    inv_sigma2_3d: float = 400.0,  # sigma = 5 cm metric alignment
 ) -> PoseOptResult:
     """Optimize one camera pose against fixed landmarks.
 
     Mirrors the reference's round structure: optimize 10 iters, re-classify
     inliers by chi2, repeat 4x; Huber on rounds 0-1, plain least squares
-    after (reference: src/Optimizer.cc:1175-1258).
+    after (reference: src/Optimizer.cc:1175-1258). When `pts.X_c_obs` is
+    given, depth-measured points additionally contribute metric 3D
+    alignment residuals (see PoseObs docstring).
+
+    `axes_c`/`axes_w`/`w_axis`: per-axis soft rotation anchors. Row k of
+    `axes_c` is a direction measured in the camera frame (e.g. a Manhattan
+    axis mean-shifted from scene normals), row k of `axes_w` the matching
+    world direction; the residual R_cw a_w - a_c is weighted by w_axis[k]
+    (0 disables that axis). Each anchor constrains exactly the 2 rotation
+    DOF its observations measure — one wall normal already pins the
+    (t_x, r_y)/(t_y, r_x) planar-view valleys that bare reprojection terms
+    leave flat — and, being measured absolutely each frame, it is
+    drift-free.
     """
     if lines is None:
         lines = _empty_line_obs(T_cw0.dtype)
     if planes is None:
         planes = _empty_plane_obs(T_cw0.dtype)
+    use_3d = pts.X_c_obs is not None
 
     th_pt = jnp.where(pts.is_stereo, chi2_stereo, chi2_mono)
     delta_pt = jnp.sqrt(th_pt)
     delta_ln = jnp.sqrt(jnp.asarray(chi2_line, T_cw0.dtype))
     delta_pl = jnp.sqrt(planes.chi2_th)
+    delta_3d = jnp.sqrt(jnp.asarray(chi2_3d, T_cw0.dtype))
 
-    def build_normal_eqs(T, pt_inlier, ln_inlier, pl_inlier, robust):
+    def build_normal_eqs(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust):
         r, J, comp, chi2, okd = _point_terms(T, pts, intr)
         active = pts.valid & pt_inlier & okd
         w = jnp.where(active, pts.inv_sigma2, 0.0)
@@ -185,9 +228,31 @@ def pose_optimization(
         H = H + jnp.einsum("nki,nk,nkj->ij", Jp, wp, Jp)
         g = g + jnp.einsum("nki,nk->i", Jp, wp * rp)
         total = total + jnp.sum(jnp.where(activep, chi2p, 0.0))
+
+        if use_3d:
+            r3, J3, chi23, has3 = _point3d_terms(T, pts, inv_sigma2_3d)
+            active3 = pts.valid & has3 & p3_inlier
+            w3 = jnp.where(active3, jnp.asarray(inv_sigma2_3d, T.dtype), 0.0)
+            if robust:
+                scale3 = jnp.minimum(1.0, delta_3d / jnp.sqrt(jnp.maximum(chi23, 1e-12)))
+                w3 = w3 * scale3
+            H = H + jnp.einsum("nki,n,nkj->ij", J3, w3, J3)
+            g = g + jnp.einsum("nki,nk->i", J3, w3[:, None] * r3)
+            total = total + jnp.sum(jnp.where(active3, chi23, 0.0))
+
+        if axes_c is not None:
+            # v_k = R_cw a_w,k; r_k = v_k - a_c,k; for T_new = exp(xi) T the
+            # rotation-block Jacobian is -hat(v_k), translation block zero.
+            V = axes_w @ T[:3, :3].T  # (3, 3) rows = predicted directions
+            r_ax = V - axes_c  # (3, 3)
+            J_ax = -se3.hat(V)  # (3, 3, 3)
+            wa = jnp.broadcast_to(jnp.asarray(w_axis, T.dtype), (3,))
+            H = H.at[3:, 3:].add(jnp.einsum("aki,a,akj->ij", J_ax, wa, J_ax))
+            g = g.at[3:].add(jnp.einsum("aki,ak->i", J_ax, wa[:, None] * r_ax))
+            total = total + jnp.sum(wa * jnp.sum(r_ax * r_ax, axis=-1))
         return H, g, total
 
-    def eval_chi2(T, pt_inlier, ln_inlier, pl_inlier):
+    def eval_chi2(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier):
         _, _, _, chi2, okd = _point_terms(T, pts, intr)
         active = pts.valid & pt_inlier & okd
         t1 = jnp.sum(jnp.where(active, chi2, 0.0))
@@ -196,16 +261,27 @@ def pose_optimization(
         t1 = t1 + jnp.sum(jnp.where(activel, chi2l, 0.0))
         *_, chi2p = _plane_terms(T, planes)
         activep = planes.valid & pl_inlier
-        return t1 + jnp.sum(jnp.where(activep, chi2p, 0.0))
+        t1 = t1 + jnp.sum(jnp.where(activep, chi2p, 0.0))
+        if use_3d:
+            _, _, chi23, has3 = _point3d_terms(T, pts, inv_sigma2_3d)
+            active3 = pts.valid & has3 & p3_inlier
+            t1 = t1 + jnp.sum(jnp.where(active3, chi23, 0.0))
+        if axes_c is not None:
+            r_ax = axes_w @ T[:3, :3].T - axes_c
+            wa = jnp.broadcast_to(jnp.asarray(w_axis, T.dtype), (3,))
+            t1 = t1 + jnp.sum(wa * jnp.sum(r_ax * r_ax, axis=-1))
+        return t1
 
-    def lm_round(T, pt_inlier, ln_inlier, pl_inlier, robust):
+    def lm_round(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust):
         def body(_, carry):
             T, lam = carry
-            H, g, chi2_cur = build_normal_eqs(T, pt_inlier, ln_inlier, pl_inlier, robust)
+            H, g, chi2_cur = build_normal_eqs(
+                T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust
+            )
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
             delta = -jnp.linalg.solve(Hd, g)
             T_new = se3.exp_se3(delta) @ T
-            chi2_new = eval_chi2(T_new, pt_inlier, ln_inlier, pl_inlier)
+            chi2_new = eval_chi2(T_new, pt_inlier, ln_inlier, pl_inlier, p3_inlier)
             accept = (chi2_new < chi2_cur) & jnp.all(jnp.isfinite(T_new))
             T = jnp.where(accept, T_new, T)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e4))
@@ -218,8 +294,9 @@ def pose_optimization(
     pt_inlier = jnp.ones_like(pts.valid)
     ln_inlier = jnp.ones_like(lines.valid)
     pl_inlier = jnp.ones_like(planes.valid)
+    p3_inlier = jnp.ones_like(pts.valid)
     for rnd in range(n_rounds):
-        T = lm_round(T, pt_inlier, ln_inlier, pl_inlier, robust=rnd < 2)
+        T = lm_round(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust=rnd < 2)
         # Re-classify: outliers with chi2 back under threshold recover
         # (reference: Optimizer.cc:1216-1246 e->setLevel(0/1) per round).
         _, _, _, chi2, okd = _point_terms(T, pts, intr)
@@ -228,10 +305,13 @@ def pose_optimization(
         ln_inlier = (chi2l <= chi2_line) & okdl
         *_, chi2p = _plane_terms(T, planes)
         pl_inlier = chi2p <= planes.chi2_th
+        if use_3d:
+            _, _, chi23, _ = _point3d_terms(T, pts, inv_sigma2_3d)
+            p3_inlier = chi23 <= chi2_3d
 
     pt_inlier = pt_inlier & pts.valid
     ln_inlier = ln_inlier & lines.valid
     pl_inlier = pl_inlier & planes.valid
     n_in = jnp.sum(pt_inlier.astype(jnp.int32))
-    chi2_final = eval_chi2(T, pt_inlier, ln_inlier, pl_inlier)
+    chi2_final = eval_chi2(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier)
     return PoseOptResult(T, pt_inlier, ln_inlier, pl_inlier, n_in, chi2_final)

@@ -74,6 +74,9 @@ def fused_track_step(
     depth = depth_mm.astype(jnp.float32) * 1e-3
 
     R_cm_ref = None
+    axes_c_lm = None
+    axes_w_lm = None
+    w_axis = jnp.zeros((3,), jnp.float32)
     if cfg.use_manhattan:
         # Manhattan rotation prior (reference: TrackManhattanFrame before
         # motion-model tracking, src/Tracking.cc:706): mean-shift the
@@ -98,6 +101,30 @@ def fused_track_step(
             T_pred.at[:3, :3].set(R_prior),
             T_pred,
         )
+        # Per-axis rotation anchors for the pose LM: mean-shift measures
+        # each Manhattan axis direction absolutely from the frame's normals,
+        # so anchoring pins exactly the rotation DOF the scene actually
+        # constrains (one wall normal alone kills the (t_x, r_y) valley).
+        # Raw per-axis measurements (no joint orthonormalization) so a
+        # weakly-supported axis can't corrupt a strong one; per-axis gates:
+        # enough support, plausible correction (no basin jumps).
+        A_meas, sup_m = manh_ops.measure_axes(
+            R_cm_pred, normals, n_ok.astype(jnp.float32),
+            cone=cfg.manhattan.normal_cone,
+            kernel=cfg.manhattan.meanshift_kernel,
+        )
+        pred_dirs = R_cm_pred.T  # rows = predicted axis dirs, camera frame
+        cos_ax = jnp.sum(A_meas * pred_dirs, axis=-1)
+        ax_anchor_ok = (
+            manh_valid
+            & (sup_m >= cfg.manhattan.rot_prior_min_support)
+            & (cos_ax > jnp.cos(cfg.manhattan.rot_prior_max_correction))
+        )
+        axes_c_lm = A_meas
+        axes_w_lm = R_wm.T  # rows = Manhattan axes in world frame
+        w_raw = cfg.manhattan.rot_prior_weight * sup_m.astype(jnp.float32)
+        w_sat = w_raw / (1.0 + w_raw * cfg.manhattan.rot_prior_bias**2)
+        w_axis = jnp.where(ax_anchor_ok, w_sat, 0.0)
 
     feats = extract_frame(gray, depth, cfg)
     L = map_X.shape[0]
@@ -110,13 +137,41 @@ def fused_track_step(
     pt_local = res.pt_id_per_kp  # (N,) row into snapshot or -1
     matched = pt_local >= 0
     X_w = map_X[jnp.maximum(pt_local, 0)]
+    kp_Xc = camera_ops.unproject(
+        cfg.camera, feats.uv, jnp.maximum(feats.depth, 1e-3)
+    )
     pts = PoseObs(
         X_w=X_w,
         obs=feats.obs,
         is_stereo=feats.depth > 1e-3,
         inv_sigma2=feats.inv_sigma2,
         valid=matched & feats.valid,
+        X_c_obs=kp_Xc if cfg.tracking.inv_sigma2_3d > 0 else None,
     )
+
+    # Optional metric-3D path (cfg.tracking.inv_sigma2_3d > 0; default off):
+    # a 3D-3D RANSAC over the matched pairs picks the majority alignment,
+    # seeds the LM with it, and restricts the metric 3D edges to the
+    # consensus inliers (slid matches on repetitive stripe lattices have
+    # near-zero image residual but lattice-sized 3D error, and would drag
+    # the Huber rounds along the stripe direction). This rescues
+    # points-only tracking in planar views, but in the full hybrid it
+    # anchors the pose to map points created during drift and blocks the
+    # line/plane-driven recovery — hence opt-in, with the Manhattan
+    # rotation prior as the default valley fix.
+    T_lm0 = T_pred
+    if pts.X_c_obs is not None:
+        r3 = ransac_rigid_3d3d(
+            X_w, kp_Xc, pts.valid & (feats.depth > 1e-3), jnp.uint32(7),
+            inlier_th=0.05, min_inliers=25,
+        )
+        T_consensus = se3.inv(r3.T_ab)
+        T_lm0 = jnp.where(
+            r3.ok & jnp.all(jnp.isfinite(T_consensus)), T_consensus, T_pred
+        )
+        pts = pts._replace(
+            valid_3d=(feats.depth > 1e-3) & jnp.where(r3.ok, r3.inliers, True)
+        )
 
     if cfg.use_lines:
         lf = line_ops.detect_lines(gray, capacity=cfg.cap.lines)
@@ -206,10 +261,13 @@ def fused_track_step(
         seg = pres = pobs = None
 
     opt = pose_optimization(
-        T_pred, pts, cfg.camera, lines=lobs, planes=pobs,
+        T_lm0, pts, cfg.camera, lines=lobs, planes=pobs,
+        axes_c=axes_c_lm, axes_w=axes_w_lm, w_axis=w_axis,
         chi2_mono=cfg.tracking.chi2_mono,
         chi2_stereo=cfg.tracking.chi2_stereo,
         chi2_line=cfg.tracking.chi2_line,
+        chi2_3d=cfg.tracking.chi2_3d,
+        inv_sigma2_3d=cfg.tracking.inv_sigma2_3d,
     )
     line_out = None
     if cfg.use_lines:
@@ -219,9 +277,15 @@ def fused_track_step(
     plane_out = None
     if cfg.use_planes:
         plane_out = (seg, pres.map_idx, pres.kind, opt.plane_inlier)
+    manh_out = None
+    if cfg.use_manhattan:
+        # Measured axes travel to the host so keyframes can store them:
+        # local BA re-uses them as per-KF rotation anchors (same valley
+        # argument as pose_optimization, applied to the whole window).
+        manh_out = (axes_c_lm, sup_m)
     return (
         opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats,
-        line_out, plane_out,
+        line_out, plane_out, manh_out,
     )
 
 
@@ -255,6 +319,7 @@ class Tracker:
         self._snap = None
         self._last_line_out = None
         self._last_plane_out = None
+        self._last_axes = None
         self._last_n_matches = 0
         # World Manhattan rotation (columns = axes) once initialized
         # (reference: Map::SetWorldManhAxis, src/Map.cc:144).
@@ -501,6 +566,7 @@ class Tracker:
         pad, lpad = self._pads
         (
             T_new, inlier, n_in, pt_local, visible, feats, line_out, plane_out,
+            manh_out,
         ) = out_host
         n_in = int(n_in)
         pt_per_kp = np.where(pt_local >= 0, pad[np.maximum(pt_local, 0)], -1)
@@ -533,6 +599,8 @@ class Tracker:
                 p_map_idx[(p_kind == 0) & p_inlier]
             ] = self.frame_id
             self._last_plane_out = (seg, p_map_idx, p_kind, p_inlier)
+
+        self._last_axes = manh_out  # (axes_c (3,3), sup (3,)) or None
 
         ok = n_in >= self.cfg.tracking.min_matches_track and np.isfinite(T_new).all()
         # A sudden match collapse (>75% drop vs the previous frame) means the
@@ -689,6 +757,8 @@ class Tracker:
             R_wc = np.linalg.inv(self.T_cw)[:3, :3]
             self.R_wm = (R_wc @ np.asarray(R_cm)).astype(np.float32)
             self.manh_valid = True
+            self.mapper.R_wm = self.R_wm
+            self.mapper.manh_valid = True
 
     def _need_new_keyframe(self, n_matches: int, feats=None, pt_per_kp=None) -> bool:
         """(reference: Tracking::NeedNewKeyFrame, src/Tracking.cc:2923 —
@@ -755,9 +825,14 @@ class Tracker:
             pt_per_kp[idx[created]] = ids[created]
 
         obs_valid = valid & (pt_per_kp >= 0)
+        axes_c = axes_sup = None
+        if self._last_axes is not None:
+            axes_c = np.asarray(self._last_axes[0], np.float32)
+            axes_sup = np.asarray(self._last_axes[1], np.int32)
         kf_slot = self.vomap.add_keyframe(
             self.T_cw, self.frame_id, pt_per_kp.astype(np.int32),
             obs, octave, desc, obs_valid,
+            axes_c=axes_c, axes_sup=axes_sup,
         )
         # Appearance index for relocalization (reference: KeyFrameDatabase::add).
         words = compute_words(feats.desc)
@@ -831,6 +906,7 @@ class Tracker:
                 )
                 if int(np.asarray(sup).min()) >= 0:  # completion handles gaps
                     self.R_wm = np.asarray(R_new).astype(np.float32)
+                    self.mapper.R_wm = self.R_wm
                     self._manh_fine_done = True
 
         if self.cfg.use_planes and self._last_plane_out is not None:

@@ -98,6 +98,11 @@ class KeyFrameTable:
     octave: np.ndarray  # (K, C) int32
     desc: np.ndarray  # (K, C, 8) uint32
     obs_valid: np.ndarray  # (K, C) bool
+    # Manhattan axis directions measured in this KF's camera frame (rows)
+    # and their normal-support counts; 0 support disables the axis. Local
+    # BA uses these as absolute per-KF rotation anchors.
+    axes_c: np.ndarray  # (K, 3, 3) float32
+    axes_sup: np.ndarray  # (K, 3) int32
 
     @staticmethod
     def empty(k: int, c: int) -> "KeyFrameTable":
@@ -110,6 +115,8 @@ class KeyFrameTable:
             octave=np.zeros((k, c), np.int32),
             desc=np.zeros((k, c, 8), np.uint32),
             obs_valid=np.zeros((k, c), bool),
+            axes_c=np.zeros((k, 3, 3), np.float32),
+            axes_sup=np.zeros((k, 3), np.int32),
         )
 
 
@@ -210,6 +217,8 @@ class VOMap:
         octave: np.ndarray,
         desc: np.ndarray,
         obs_valid: np.ndarray,
+        axes_c: np.ndarray | None = None,
+        axes_sup: np.ndarray | None = None,
     ) -> int:
         k = self.next_kf_slot
         if k >= self.keyframes.T_cw.shape[0]:
@@ -223,6 +232,9 @@ class VOMap:
         kf.octave[k] = octave
         kf.desc[k] = desc
         kf.obs_valid[k] = obs_valid
+        if axes_c is not None:
+            kf.axes_c[k] = axes_c
+            kf.axes_sup[k] = axes_sup
         self.next_kf_slot += 1
         # Update observation counts.
         pids = point_id[obs_valid & (point_id >= 0)]

@@ -40,4 +40,6 @@ def test_hybrid_beats_points_only_in_low_texture(low_texture_frames):
     # The hybrid's whole point: structural features must help substantially
     # where corners are scarce.
     assert ate_full < 0.6 * ate_pts, (ate_full, ate_pts)
-    assert ate_full < 0.25, ate_full  # round-1 bound; tighten as it improves
+    # Manhattan axis anchors in the pose LM + local BA pin the (t_x, r_y)
+    # planar-view valley; measured ~9 mm on this scene (was ~125 mm).
+    assert ate_full < 0.05, ate_full

@@ -39,6 +39,9 @@ class PlaneSegmentation(NamedTuple):
     valid: jnp.ndarray  # (Pmax,)
     block_label: jnp.ndarray  # (nby, nbx) int32 plane row per block (-1 none)
     block_centroid: jnp.ndarray  # (nby, nbx, 3) per-block centroids (cloud proxy)
+    covs: jnp.ndarray  # (Pmax, 3, 3) point scatter about the centroid —
+    # sufficient statistics for map-plane coefficient refits (the TPU
+    # replacement for carrying the observation's point cloud around)
 
 
 def depth_to_cloud(depth: jnp.ndarray, intr: Intrinsics) -> jnp.ndarray:
@@ -176,10 +179,12 @@ def segment_planes(
     top_cnt, top_lbl = jax.lax.top_k(score, k)
     planes = jnp.concatenate([Np[top_lbl], Dp[top_lbl][:, None]], axis=1)
     centroids = Mup[top_lbl]
+    covs = Cov_l[top_lbl]
     pvalid = top_cnt > 0
     if k < max_planes:
         planes = jnp.pad(planes, ((0, max_planes - k), (0, 0)))
         centroids = jnp.pad(centroids, ((0, max_planes - k), (0, 0)))
+        covs = jnp.pad(covs, ((0, max_planes - k), (0, 0), (0, 0)))
         top_cnt = jnp.pad(top_cnt, (0, max_planes - k))
         pvalid = jnp.pad(pvalid, (0, max_planes - k))
 
@@ -189,7 +194,7 @@ def segment_planes(
     )
     block_row = row_of_label[label]
     return PlaneSegmentation(
-        planes, centroids, jnp.maximum(top_cnt, 0.0), pvalid, block_row, mu
+        planes, centroids, jnp.maximum(top_cnt, 0.0), pvalid, block_row, mu, covs
     )
 
 

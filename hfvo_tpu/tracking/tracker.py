@@ -599,6 +599,23 @@ class Tracker:
                 p_map_idx[(p_kind == 0) & p_inlier]
             ] = self.frame_id
             self._last_plane_out = (seg, p_map_idx, p_kind, p_inlier)
+            # Coefficient refinement from every matched observation
+            # (reference: UpdateCoefficientsAndPoints per matched frame
+            # plane in the tracking loop, src/Tracking.cc:795-800).
+            upd = (
+                np.asarray(seg.valid) & (p_kind == 0) & p_inlier & (p_map_idx >= 0)
+            )
+            if upd.any() and np.isfinite(T_new).all():
+                T_wc = np.linalg.inv(T_new)
+                R, tw = T_wc[:3, :3], T_wc[:3, 3]
+                mu_c = np.asarray(seg.centroids)[upd]
+                cov_c = np.asarray(seg.covs)[upd]
+                self.vomap.update_plane_coefficients(
+                    p_map_idx[upd],
+                    (mu_c @ R.T + tw).astype(np.float64),
+                    np.einsum("ab,nbc,dc->nad", R, cov_c, R),
+                    np.asarray(seg.counts)[upd],
+                )
 
         self._last_axes = manh_out  # (axes_c (3,3), sup (3,)) or None
 
@@ -930,8 +947,13 @@ class Tracker:
                 pi_w = np.concatenate([n_w, d_w[:, None]], axis=1).astype(np.float32)
                 T_wc = np.linalg.inv(self.T_cw)
                 c_w = (T_wc[:3, :3] @ cent_c[pidx].T).T + T_wc[:3, 3]
+                cov_w = np.einsum(
+                    "ab,nbc,dc->nad", T_wc[:3, :3], np.asarray(seg.covs)[pidx],
+                    T_wc[:3, :3],
+                )
                 pids = self.vomap.add_planes(
-                    pi_w, c_w.astype(np.float32), counts[pidx], self.frame_id
+                    pi_w, c_w.astype(np.float32), counts[pidx], self.frame_id,
+                    cov_w=cov_w,
                 )
                 created = pids >= 0
                 plane_id[pidx[created]] = pids[created]

@@ -133,6 +133,14 @@ class PlaneTable:
     valid: np.ndarray  # (N,)
     n_obs: np.ndarray  # (N,)
     last_seen_frame: np.ndarray  # (N,)
+    # Running world-frame point moments over ALL observations — the TPU
+    # equivalent of the reference's merged voxel cloud (MapPlane::
+    # UpdateCoefficientsAndPoints, src/MapPlane.cc:300-372): coefficients
+    # refit from the accumulated scatter instead of a stored point cloud.
+    # float64: moments are about the origin, so f32 would cancel.
+    m_w: np.ndarray  # (N,) total weight (pixel count)
+    m_sum: np.ndarray  # (N, 3) weighted position sum
+    m_outer: np.ndarray  # (N, 3, 3) weighted second moment about origin
 
     @staticmethod
     def empty(n: int) -> "PlaneTable":
@@ -143,6 +151,9 @@ class PlaneTable:
             valid=np.zeros((n,), bool),
             n_obs=np.zeros((n,), np.int32),
             last_seen_frame=np.full((n,), -1, np.int32),
+            m_w=np.zeros((n,), np.float64),
+            m_sum=np.zeros((n, 3), np.float64),
+            m_outer=np.zeros((n, 3, 3), np.float64),
         )
 
 
@@ -335,7 +346,12 @@ class VOMap:
     # ---- planes ----------------------------------------------------------
 
     def add_planes(
-        self, pi_w: np.ndarray, centroid_w: np.ndarray, count: np.ndarray, frame_id: int
+        self,
+        pi_w: np.ndarray,
+        centroid_w: np.ndarray,
+        count: np.ndarray,
+        frame_id: int,
+        cov_w: np.ndarray | None = None,
     ) -> np.ndarray:
         n = len(pi_w)
         free = np.nonzero(~self.planes.valid)[0]
@@ -350,7 +366,58 @@ class VOMap:
         t.valid[slots] = True
         t.n_obs[slots] = 0
         t.last_seen_frame[slots] = frame_id
+        # Seed the running moments from the first observation.
+        w = count[:take].astype(np.float64)
+        mu = centroid_w[:take].astype(np.float64)
+        t.m_w[slots] = w
+        t.m_sum[slots] = w[:, None] * mu
+        c = (
+            cov_w[:take].astype(np.float64)
+            if cov_w is not None
+            else np.zeros((take, 3, 3))
+        )
+        t.m_outer[slots] = w[:, None, None] * (
+            c + mu[:, :, None] * mu[:, None, :]
+        )
         return ids
+
+    def update_plane_coefficients(
+        self,
+        plane_id: np.ndarray,  # (M,) map rows (deduplicated by caller or not)
+        mu_w: np.ndarray,  # (M, 3) observation centroid, world frame
+        cov_w: np.ndarray,  # (M, 3, 3) observation scatter about centroid
+        count: np.ndarray,  # (M,) observation pixel weight
+    ) -> None:
+        """Fold fresh observations into the running moments and refit the
+        plane coefficients (reference: MapPlane::UpdateCoefficientsAndPoints
+        per matched frame plane, src/MapPlane.cc:337-372; the accumulated
+        scatter replaces the merged voxel cloud, the eigh refit replaces the
+        RANSAC re-segmentation)."""
+        t = self.planes
+        w = count.astype(np.float64)
+        mu = mu_w.astype(np.float64)
+        np.add.at(t.m_w, plane_id, w)
+        np.add.at(t.m_sum, plane_id, w[:, None] * mu)
+        np.add.at(
+            t.m_outer,
+            plane_id,
+            w[:, None, None]
+            * (cov_w.astype(np.float64) + mu[:, :, None] * mu[:, None, :]),
+        )
+        for i in np.unique(plane_id):
+            W = t.m_w[i]
+            if W < 1.0:
+                continue
+            mean = t.m_sum[i] / W
+            C = t.m_outer[i] / W - np.outer(mean, mean)
+            evals, evecs = np.linalg.eigh(C + 1e-12 * np.eye(3))
+            n = evecs[:, 0]
+            if n @ t.pi_w[i, :3] < 0:  # keep orientation continuity
+                n = -n
+            t.pi_w[i, :3] = n.astype(np.float32)
+            t.pi_w[i, 3] = np.float32(-n @ mean)
+            t.centroid_w[i] = mean.astype(np.float32)
+            t.count[i] = np.float32(W)
 
     def add_kf_plane_obs(
         self, kf_slot: int, plane_id: np.ndarray, pi_obs: np.ndarray, obs_valid: np.ndarray
@@ -377,17 +444,22 @@ class VOMap:
                 dot = abs(t.pi_w[i, :3] @ t.pi_w[j, :3])
                 d = abs(t.pi_w[i, :3] @ t.centroid_w[j] + t.pi_w[i, 3])
                 if dot > ang_th and d < dist_th:
-                    # Weighted merge into i; j replaced.
-                    wi, wj = t.count[i], t.count[j]
-                    n = t.pi_w[i, :3] * wi + t.pi_w[j, :3] * np.sign(
-                        t.pi_w[i, :3] @ t.pi_w[j, :3]
-                    ) * wj
-                    n /= np.linalg.norm(n) + 1e-9
-                    c = (t.centroid_w[i] * wi + t.centroid_w[j] * wj) / (wi + wj)
-                    t.pi_w[i, :3] = n
-                    t.pi_w[i, 3] = -n @ c
-                    t.centroid_w[i] = c
-                    t.count[i] = wi + wj
+                    # Merge j's accumulated moments into i and refit
+                    # (moments are additive, so the merge is exact).
+                    t.m_w[i] += t.m_w[j]
+                    t.m_sum[i] += t.m_sum[j]
+                    t.m_outer[i] += t.m_outer[j]
+                    W = max(t.m_w[i], 1.0)
+                    mean = t.m_sum[i] / W
+                    C = t.m_outer[i] / W - np.outer(mean, mean)
+                    _, evecs = np.linalg.eigh(C + 1e-12 * np.eye(3))
+                    n = evecs[:, 0]
+                    if n @ t.pi_w[i, :3] < 0:
+                        n = -n
+                    t.pi_w[i, :3] = n.astype(np.float32)
+                    t.pi_w[i, 3] = np.float32(-n @ mean)
+                    t.centroid_w[i] = mean.astype(np.float32)
+                    t.count[i] = np.float32(W)
                     t.n_obs[i] += t.n_obs[j]
                     t.valid[j] = False
                     # Re-point keyframe observations at the survivor.

@@ -81,6 +81,10 @@ class ManhattanConfig:
     meanshift_kernel: float = 20.0  # exp(-20 * ||x||^2) (Tracking.cc:1161)
     coarse_success_rate: float = 0.95  # reference: src/Tracking.cc:573
     coarse_hypotheses: int = 64  # random-rotation hypotheses for coarse init
+    # Line-axis parallelism edges in local BA (reference:
+    # ParEptsNVector3DSingleFrame, Optimizer.cc:3382-3410): information on
+    # the cross(dir, axis) residual per Manhattan-assigned map line.
+    line_axis_info: float = 100.0
     # Per-axis rotation anchors in the pose LM (framework addition; the
     # mean-shift axis directions are absolute so they pin the (t_x, r_y)
     # valley — see solve/lm.py pose_optimization).
@@ -136,6 +140,7 @@ class Capacities:
     local_kfs: int = 16  # keyframes in local BA window
     ba_fixed_kfs: int = 8
     ba_edges: int = 16384
+    ba_line_pairs: int = 256  # line-endpoint pairs (axis edges) in local BA
 
 
 @dataclass(frozen=True)

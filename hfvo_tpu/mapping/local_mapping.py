@@ -139,6 +139,34 @@ class LocalMapper:
         nle = min(len(le_kf), El)
         le_kf, le_lm, le_l2d = le_kf[:nle], le_lm[:nle], le_l2d[:nle]
 
+        # Line-axis parallelism edges: each Manhattan-assigned map line in
+        # the window constrains its endpoint pair parallel to its world
+        # axis (reference: ParEptsNVector3DSingleFrame per map line,
+        # src/Optimizer.cc:3382-3410). The pair rows double as the paired
+        # 6-dof landmark blocks in the Schur solve.
+        lp_kwargs = {}
+        LPC = cap.ba_line_pairs
+        if len(ulines) and self.manh_valid and self.cfg.use_manhattan and self.R_wm is not None:
+            nl = min(len(ulines), LPC)
+            lp_s = np.zeros((LPC,), np.int32)
+            lp_e = np.zeros((LPC,), np.int32)
+            lp_axis = np.zeros((LPC, 3), np.float32)
+            lp_w = np.zeros((LPC,), np.float32)
+            lp_valid = np.zeros((LPC,), bool)
+            midx = vm.lines.manh_idx[ulines[:nl]]
+            lp_s[:nl] = npt + np.arange(nl)
+            lp_e[:nl] = npt + len(ulines) + np.arange(nl)
+            lp_axis[:nl] = self.R_wm.T[np.maximum(midx, 0)]
+            lp_w[:nl] = np.where(midx >= 0, self.cfg.manhattan.line_axis_info, 0.0)
+            lp_valid[:nl] = True
+            lp_kwargs = dict(
+                lp_s=jnp.asarray(lp_s),
+                lp_e=jnp.asarray(lp_e),
+                lp_axis=jnp.asarray(lp_axis),
+                lp_w=jnp.asarray(lp_w),
+                lp_valid=jnp.asarray(lp_valid),
+            )
+
         # Per-KF Manhattan axis anchors: reprojection-only BA shares the
         # per-frame (t_x, r_y) planar-view valley and can walk keyframe
         # poses along it (observed: online tracking fine, BA retroactively
@@ -190,6 +218,7 @@ class LocalMapper:
             le_inv_sigma2=jnp.asarray(pad(np.ones(nle, np.float32), El)),
             le_valid=jnp.asarray(pad(np.ones(nle, bool), El)),
             **axes_kwargs,
+            **lp_kwargs,
         )
         import jax
 

@@ -57,6 +57,19 @@ class BAProblem(NamedTuple):
     le_line2d: jnp.ndarray  # (El, 3) normalized (a, b, c)
     le_inv_sigma2: jnp.ndarray  # (El,)
     le_valid: jnp.ndarray  # (El,) bool
+    # Line-axis parallelism edges (reference: ParEptsNVector3DSingleFrame,
+    # include/g2oMSC.h:123, added per Manhattan-assigned map line in
+    # LocalMapOptimization, src/Optimizer.cc:3382-3410). A binary edge
+    # between a line's two endpoint landmarks: residual cross(dir, axis).
+    # The endpoints coupled by such an edge are solved as one 6-dof
+    # landmark block in the Schur complement (the reference instead leaves
+    # those endpoints unmarginalized; pairing keeps our reduced camera
+    # system identical in size).
+    lp_s: jnp.ndarray | None = None  # (Lc,) start endpoint landmark row
+    lp_e: jnp.ndarray | None = None  # (Lc,) end endpoint landmark row
+    lp_axis: jnp.ndarray | None = None  # (Lc, 3) world Manhattan axis
+    lp_w: jnp.ndarray | None = None  # (Lc,) information (0 = no axis edge)
+    lp_valid: jnp.ndarray | None = None  # (Lc,) pair exists
     # Per-KF Manhattan axis anchors (see solve/lm.py pose_optimization):
     # row a of kf_axes_c[k] is the axis direction measured in KF k's camera
     # frame, kf_axes_w rows the matching world directions, kf_w_axis the
@@ -171,7 +184,54 @@ def _build_blocks(
             jnp.einsum("kaci,kac->ki", J_ax, wa[:, :, None] * r_ax)
         )
         total_chi2 = total_chi2 + jnp.sum(wa * jnp.sum(r_ax * r_ax, axis=-1))
-    return Hpp, Hll, U, bp, bl, total_chi2
+
+    Hx = None
+    if prob.lp_s is not None:
+        r_lp, Je, w_lp, chi2_lp = _line_axis_terms(prob, pt_X)
+        # J wrt end = Je, wrt start = -Je; fold into landmark blocks + the
+        # start-end cross block consumed by the paired Schur solve.
+        HJ = jnp.einsum("lab,l,lcb->lac", Je, w_lp, Je)  # (Lc, 3, 3)
+        Hll = Hll.at[prob.lp_s].add(HJ)
+        Hll = Hll.at[prob.lp_e].add(HJ)
+        Hx = -HJ  # d(start) x d(end) cross block
+        g_e = jnp.einsum("lab,la->lb", Je, w_lp[:, None] * r_lp)
+        bl = bl.at[prob.lp_e].add(g_e)
+        bl = bl.at[prob.lp_s].add(-g_e)
+        total_chi2 = total_chi2 + jnp.sum(chi2_lp)
+    return Hpp, Hll, Hx, U, bp, bl, total_chi2
+
+
+def _line_axis_terms(prob: BAProblem, pt_X):
+    """cross(unit(end-start), axis) residuals (Lc, 3), the Jacobian wrt the
+    END endpoint (start is its negation), effective weights, and chi2."""
+    Xs = pt_X[prob.lp_s]
+    Xe = pt_X[prob.lp_e]
+    d = Xe - Xs
+    nrm = jnp.linalg.norm(d, axis=-1)
+    dn = d / jnp.maximum(nrm, 1e-6)[:, None]
+    a = prob.lp_axis
+    r = jnp.cross(dn, a)  # |r| = sin(angle to axis)
+    # dr/d dn = -hat(a); d dn/d d = (I - dn dn^T)/|d|; dr/dXe = chain.
+    P_t = (
+        jnp.eye(3)[None] - dn[:, :, None] * dn[:, None, :]
+    ) / jnp.maximum(nrm, 1e-6)[:, None, None]
+    Je = -jnp.einsum("lab,lbc->lac", _hat3(a), P_t)
+    ok = prob.lp_valid & (nrm > 1e-3)
+    w = jnp.where(ok, prob.lp_w, 0.0)
+    chi2 = w * jnp.sum(r * r, axis=-1)
+    return r, Je, w, chi2
+
+
+def _hat3(v):
+    z = jnp.zeros_like(v[..., 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[..., 2], v[..., 1]], axis=-1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], axis=-1),
+            jnp.stack([-v[..., 1], v[..., 0], z], axis=-1),
+        ],
+        axis=-2,
+    )
 
 
 def _axis_anchor_terms(prob: BAProblem, kf_T):
@@ -192,13 +252,18 @@ def _chi2_total(prob: BAProblem, kf_T, pt_X, intr, e_active, le_active):
     if prob.kf_axes_c is not None:
         r_ax, _ = _axis_anchor_terms(prob, kf_T)
         t = t + jnp.sum(prob.kf_w_axis * jnp.sum(r_ax * r_ax, axis=-1))
+    if prob.lp_s is not None:
+        *_, chi2_lp = _line_axis_terms(prob, pt_X)
+        t = t + jnp.sum(chi2_lp)
     return t
 
 
-def _schur_solve(prob, Hpp, Hll, U, bp, bl, lam):
+def _schur_solve(prob, Hpp, Hll, Hx, U, bp, bl, lam):
     """Solve the damped system via Schur complement; returns (dpose (K,6),
-    dpt (P,3))."""
+    dpt (P,3)). Landmarks coupled by a line-axis edge (prob.lp_*) are
+    marginalized as paired 6-dof blocks; all others as independent 3x3."""
     K = Hpp.shape[0]
+    P = Hll.shape[0]
     eye3 = jnp.eye(3)
     Hll_d = Hll + lam * eye3 * jnp.maximum(
         jnp.diagonal(Hll, axis1=1, axis2=2), 1e-6
@@ -208,14 +273,48 @@ def _schur_solve(prob, Hpp, Hll, U, bp, bl, lam):
     Hll_d = jnp.where(observed[:, None, None], Hll_d, jnp.eye(3))
     A = jnp.linalg.inv(Hll_d)  # (P, 3, 3)
 
+    paired = prob.lp_s is not None
+    if paired:
+        s_rows, e_rows = prob.lp_s, prob.lp_e
+        pair_ok = prob.lp_valid
+        # Exclude pair members from the scalar path (their contribution
+        # moves to the 6x6 pair path below).
+        in_pair = (
+            jnp.zeros((P,), bool)
+            .at[s_rows].max(pair_ok)
+            .at[e_rows].max(pair_ok)
+        )
+        A = jnp.where(in_pair[:, None, None], 0.0, A)
+
     T1 = jnp.einsum("pkab,pbc->pkac", U, A)  # (P, K, 6, 3)
     S = -jnp.einsum("pkac,pmdc->kmad", T1, U)  # (K, K, 6, 6)
+
+    if paired:
+        # 6x6 pair blocks [[H_ss, Hx], [Hx^T, H_ee]] (damping already on
+        # the diagonal via Hll_d; the cross block is not damped).
+        H6 = jnp.zeros((s_rows.shape[0], 6, 6))
+        H6 = H6.at[:, :3, :3].set(Hll_d[s_rows])
+        H6 = H6.at[:, 3:, 3:].set(Hll_d[e_rows])
+        H6 = H6.at[:, :3, 3:].set(Hx)
+        H6 = H6.at[:, 3:, :3].set(Hx.transpose(0, 2, 1))
+        pair_obs = pair_ok & (
+            observed[s_rows] | observed[e_rows] | (prob.lp_w > 0)
+        )
+        H6 = jnp.where(pair_obs[:, None, None], H6, jnp.eye(6))
+        A6 = jnp.linalg.inv(H6)  # (Lc, 6, 6)
+        A6 = jnp.where(pair_obs[:, None, None], A6, 0.0)
+        U6 = jnp.concatenate([U[s_rows], U[e_rows]], axis=-1)  # (Lc, K, 6, 6)
+        bl6 = jnp.concatenate([bl[s_rows], bl[e_rows]], axis=-1)  # (Lc, 6)
+        T16 = jnp.einsum("lkab,lbc->lkac", U6, A6)
+        S = S - jnp.einsum("lkac,lmdc->kmad", T16, U6)
     # Add Hpp on the diagonal + damping.
     diag = Hpp + lam * jnp.eye(6) * jnp.maximum(
         jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6
     )[:, :, None] * jnp.eye(6)
     S = S.at[jnp.arange(K), jnp.arange(K)].add(diag)
     b_red = bp - jnp.einsum("pkac,pc->ka", T1, bl)  # (K, 6)
+    if paired:
+        b_red = b_red - jnp.einsum("lkac,lc->ka", T16, bl6)
 
     # Gauge handling: fixed keyframes get identity rows/cols, zero rhs.
     free = prob.kf_free
@@ -235,6 +334,12 @@ def _schur_solve(prob, Hpp, Hll, U, bp, bl, lam):
     rhs = bl + jnp.einsum("pkab,ka->pb", U, dpose)
     dpt = -jnp.einsum("pab,pb->pa", A, rhs)
     dpt = jnp.where(observed[:, None], dpt, 0.0)
+    if paired:
+        rhs6 = bl6 + jnp.einsum("lkab,ka->lb", U6, dpose)
+        d6 = -jnp.einsum("lab,lb->la", A6, rhs6)
+        d6 = jnp.where(pair_obs[:, None], d6, 0.0)
+        dpt = dpt.at[s_rows].add(d6[:, :3])
+        dpt = dpt.at[e_rows].add(d6[:, 3:])
     return dpose, dpt
 
 
@@ -260,10 +365,10 @@ def local_bundle_adjustment(
     def lm_stage(kf_T, pt_X, e_active, le_active, n_iters, robust):
         def body(_, carry):
             kf_T, pt_X, lam = carry
-            Hpp, Hll, U, bp, bl, chi2_cur = _build_blocks(
+            Hpp, Hll, Hx, U, bp, bl, chi2_cur = _build_blocks(
                 prob, kf_T, pt_X, intr, e_active, le_active, robust, delta_e, delta_l
             )
-            dpose, dpt = _schur_solve(prob, Hpp, Hll, U, bp, bl, lam)
+            dpose, dpt = _schur_solve(prob, Hpp, Hll, Hx, U, bp, bl, lam)
             kf_T_new = se3.exp_se3(dpose) @ kf_T
             pt_X_new = pt_X + dpt
             chi2_new = _chi2_total(prob, kf_T_new, pt_X_new, intr, e_active, le_active)

@@ -180,3 +180,94 @@ def test_ba_line_endpoint_edges(rng):
     dist0 = np.linalg.norm(perp, axis=1)
     assert np.median(dist0) < 0.012, np.median(dist0)
     assert bool(np.asarray(res.le_inlier).mean() > 0.9)
+
+
+def test_ba_line_axis_edges(rng):
+    """Manhattan line-axis parallelism edges (paired 6-dof landmark blocks
+    in the Schur solve): axis-aligned lines perturbed off-axis must come
+    back more parallel than without the edges, without breaking poses."""
+    K, P_pts, n_lines = 4, 80, 12
+    prob0, T_gt, X_gt, _ = make_ba_problem(rng, K=K, P=P_pts, pose_noise=0.01,
+                                           pt_noise=0.01, obs_noise=0.2)
+    # GT lines exactly along the world x axis.
+    axis = np.array([1.0, 0.0, 0.0], np.float32)
+    L0 = np.stack([rng.uniform(-2, 0, n_lines), rng.uniform(-1.5, 1.5, n_lines),
+                   rng.uniform(3.5, 6, n_lines)], 1).astype(np.float32)
+    L1 = L0 + axis * rng.uniform(0.8, 1.5, (n_lines, 1)).astype(np.float32)
+
+    from hfvo_tpu.geometry import camera as cam
+    le_kf, le_lm, le_l2d = [], [], []
+    for k in range(K):
+        uv0 = np.array(cam.project(INTR, se3.transform(jnp.asarray(T_gt[k]), jnp.asarray(L0))))
+        uv1 = np.array(cam.project(INTR, se3.transform(jnp.asarray(T_gt[k]), jnp.asarray(L1))))
+        dd = uv1 - uv0
+        n = np.stack([-dd[:, 1], dd[:, 0]], 1)
+        n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-9
+        c = -(n * uv0).sum(1)
+        l2d = np.concatenate([n, c[:, None]], 1).astype(np.float32)
+        for i in range(n_lines):
+            le_kf += [k, k]
+            le_lm += [P_pts + i, P_pts + n_lines + i]
+            le_l2d += [l2d[i], l2d[i]]
+    El = len(le_kf)
+
+    # Perturb endpoints perpendicular to the axis (pure off-axis error the
+    # 2D line observations barely see along their own direction).
+    perturb = np.stack([np.zeros(n_lines), rng.uniform(-0.05, 0.05, n_lines),
+                        rng.uniform(-0.05, 0.05, n_lines)], 1).astype(np.float32)
+    lm_X = np.concatenate([
+        np.asarray(prob0.pt_X)[:P_pts], L0 + perturb, L1 - perturb,
+    ])
+    P_total = P_pts + 2 * n_lines
+    base = prob0._replace(
+        pt_X=jnp.asarray(lm_X),
+        pt_valid=jnp.ones((P_total,), bool),
+        le_kf=jnp.asarray(np.array(le_kf, np.int32)),
+        le_lm=jnp.asarray(np.array(le_lm, np.int32)),
+        le_line2d=jnp.asarray(np.stack(le_l2d)),
+        le_inv_sigma2=jnp.ones((El,)),
+        le_valid=jnp.ones((El,), bool),
+    )
+    LPC = 16
+    lp_s = np.zeros((LPC,), np.int32)
+    lp_e = np.zeros((LPC,), np.int32)
+    lp_axis = np.zeros((LPC, 3), np.float32)
+    lp_w = np.zeros((LPC,), np.float32)
+    lp_valid = np.zeros((LPC,), bool)
+    lp_s[:n_lines] = P_pts + np.arange(n_lines)
+    lp_e[:n_lines] = P_pts + n_lines + np.arange(n_lines)
+    lp_axis[:n_lines] = axis
+    lp_w[:n_lines] = 100.0
+    lp_valid[:n_lines] = True
+    with_ax = base._replace(
+        lp_s=jnp.asarray(lp_s), lp_e=jnp.asarray(lp_e),
+        lp_axis=jnp.asarray(lp_axis), lp_w=jnp.asarray(lp_w),
+        lp_valid=jnp.asarray(lp_valid),
+    )
+
+    def dir_err(res):
+        X = np.asarray(res.pt_X)
+        dvec = X[P_pts + n_lines : P_pts + 2 * n_lines] - X[P_pts : P_pts + n_lines]
+        dvec /= np.linalg.norm(dvec, axis=1, keepdims=True) + 1e-12
+        return np.degrees(np.arccos(np.clip(np.abs(dvec @ axis), -1, 1)))
+
+    res_no = local_bundle_adjustment(base, INTR)
+    res_ax = local_bundle_adjustment(with_ax, INTR)
+    e_no, e_ax = dir_err(res_no), dir_err(res_ax)
+    assert np.median(e_ax) < 0.6 * np.median(e_no), (np.median(e_ax), np.median(e_no))
+    # Poses must stay as good as the edge-free solve.
+    p_no = pose_errors(np.asarray(res_no.kf_T_cw), T_gt)
+    p_ax = pose_errors(np.asarray(res_ax.kf_T_cw), T_gt)
+    assert p_ax[2:, :3].max() < max(p_no[2:, :3].max() * 1.5, 0.01)
+    # Zero-weight pairs route through the paired 6x6 path; endpoint
+    # directions are ill-determined in this setup (lines parallel to the
+    # camera baseline), so only sanity is comparable, not the solution:
+    # poses must stay good and nothing may go non-finite.
+    zero_w = with_ax._replace(lp_w=jnp.zeros((LPC,)))
+    res_zero = local_bundle_adjustment(zero_w, INTR)
+    assert np.isfinite(np.asarray(res_zero.pt_X)).all()
+    p_zero = pose_errors(np.asarray(res_zero.kf_T_cw), T_gt)
+    assert p_zero[2:, :3].max() < max(p_no[2:, :3].max() * 1.5, 0.01)
+    # With the edges active the directions must beat the zero-weight path
+    # as well (not just the scalar path).
+    assert np.median(e_ax) < 0.6 * np.median(dir_err(res_zero))

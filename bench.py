@@ -71,11 +71,21 @@ def main() -> None:
         jnp.ones((cfg.cap.keypoints,), bool), cfg.camera, jnp.uint32(0),
     )
 
+    # Prime the pipelined path (same compiled program, device-chained
+    # prediction) before timing.
+    tracker.track_rgbd_async(grays[n_warm - 1], depths[n_warm - 1])
+    tracker.flush()
+
+    # Timed loop: one-frame-lag pipelined tracking — device compute and
+    # tunnel transfers overlap host bookkeeping (the reference overlaps the
+    # same work across its tracking/mapping threads).
     t0 = time.perf_counter()
+    n_done = 0
     for i in range(n_warm, n_warm + n_timed):
-        tracker.track_rgbd(grays[i], depths[i])
+        n_done += len(tracker.track_rgbd_async(grays[i], depths[i]))
+    n_done += len(tracker.flush())
     dt = time.perf_counter() - t0
-    fps = n_timed / dt
+    fps = n_done / dt
 
     print(
         json.dumps(

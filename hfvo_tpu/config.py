@@ -110,6 +110,11 @@ class TrackingConfig:
     max_frames_between_kf: int = 30  # = fps
     min_matches_track: int = 20
     min_matches_track_local: int = 30
+    # Absolute coverage floor for keyframe insertion: below this many
+    # tracked matches the local map no longer covers the view regardless
+    # of the ratio rule. Must stay well below typical per-frame match
+    # counts or every frame becomes a keyframe.
+    min_coverage_kf: int = 60
     local_map_size_kf: int = 80
     # chi2 gates (reference: src/Optimizer.cc:1175-1179)
     chi2_mono: float = 5.991

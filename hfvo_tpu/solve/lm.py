@@ -57,6 +57,23 @@ class LineObs(NamedTuple):
     valid: jnp.ndarray  # (M,) bool
 
 
+class DirObs(NamedTuple):
+    """Line-direction (vanishing-point) edges: the direction of a matched
+    map line, rotated by the pose, against the direction measured from the
+    frame's depth-fitted 3D line (reference: DistVp2VpOnlyPose,
+    include/g2oMSC.h:766-848, built per matched map line in
+    PoseOptimization, src/Optimizer.cc:820-860). Translation-free — a pure
+    rotation constraint. The reference compares normalized image
+    vanishing points; the camera-frame direction chord cross(R d_w, d_c)
+    is the same constraint to first order with an analytic Jacobian.
+    """
+
+    d_w: jnp.ndarray  # (V, 3) map-line direction, world frame (unit)
+    d_c: jnp.ndarray  # (V, 3) observed 3D-line direction, camera frame (unit)
+    inv_sigma2: jnp.ndarray  # (V,)
+    valid: jnp.ndarray  # (V,) bool
+
+
 class PlaneObs(NamedTuple):
     """Plane edges for pose optimization (reference: EdgePlaneOnlyPose,
     EdgeParallelPlaneOnlyPose, EdgeVerticalPlaneOnlyPose in g2oAddition/,
@@ -127,6 +144,21 @@ def _point3d_terms(T, pts: PoseObs, inv_sigma2_3d: float):
     return r, J, chi2, has
 
 
+def _dir_terms(T, dirs: DirObs):
+    """Chord residuals R d_w - d_c (V, 3) with sign folding (line
+    directions are sign-ambiguous); rotation-block Jacobian -hat(R d_w),
+    translation block exactly zero."""
+    v = dirs.d_w @ T[:3, :3].T  # (V, 3) rows = R d_w
+    s = jnp.sign(jnp.sum(v * dirs.d_c, axis=-1, keepdims=True))
+    d_c = dirs.d_c * jnp.where(s == 0, 1.0, s)
+    r = v - d_c
+    J = jnp.concatenate(
+        [jnp.zeros(v.shape[:-1] + (3, 3), v.dtype), -se3.hat(v)], axis=-1
+    )  # (V, 3, 6)
+    chi2 = jnp.sum(r * r, axis=-1) * dirs.inv_sigma2
+    return r, J, chi2
+
+
 def _line_terms(T, lines: LineObs, intr):
     r, J, z = residuals.line_endpoint_residual(T, lines.X_w, lines.line2d, intr)
     chi2 = (r[..., 0] ** 2) * lines.inv_sigma2
@@ -147,7 +179,7 @@ from functools import partial
     jax.jit,
     static_argnames=(
         "n_rounds", "n_iters", "chi2_mono", "chi2_stereo", "chi2_line",
-        "chi2_3d", "inv_sigma2_3d",
+        "chi2_3d", "inv_sigma2_3d", "chi2_vp",
     ),
 )
 def pose_optimization(
@@ -156,6 +188,7 @@ def pose_optimization(
     intr: Intrinsics,
     lines: LineObs | None = None,
     planes: PlaneObs | None = None,
+    dirs: DirObs | None = None,
     axes_c: jnp.ndarray | None = None,
     axes_w: jnp.ndarray | None = None,
     w_axis: jnp.ndarray | float = 0.0,
@@ -164,6 +197,7 @@ def pose_optimization(
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
     chi2_line: float = 3.84,
+    chi2_vp: float = 3.84,
     chi2_3d: float = 7.815,
     inv_sigma2_3d: float = 400.0,  # sigma = 5 cm metric alignment
 ) -> PoseOptResult:
@@ -196,8 +230,10 @@ def pose_optimization(
     delta_ln = jnp.sqrt(jnp.asarray(chi2_line, T_cw0.dtype))
     delta_pl = jnp.sqrt(planes.chi2_th)
     delta_3d = jnp.sqrt(jnp.asarray(chi2_3d, T_cw0.dtype))
+    delta_vp = jnp.sqrt(jnp.asarray(chi2_vp, T_cw0.dtype))
 
-    def build_normal_eqs(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust):
+    def build_normal_eqs(T, inliers, robust):
+        pt_inlier, ln_inlier, pl_inlier, p3_inlier, vp_inlier = inliers
         r, J, comp, chi2, okd = _point_terms(T, pts, intr)
         active = pts.valid & pt_inlier & okd
         w = jnp.where(active, pts.inv_sigma2, 0.0)
@@ -240,6 +276,19 @@ def pose_optimization(
             g = g + jnp.einsum("nki,nk->i", J3, w3[:, None] * r3)
             total = total + jnp.sum(jnp.where(active3, chi23, 0.0))
 
+        if dirs is not None:
+            rv, Jv, chi2v = _dir_terms(T, dirs)
+            activev = dirs.valid & vp_inlier
+            wv = jnp.where(activev, dirs.inv_sigma2, 0.0)
+            if robust:
+                scalev = jnp.minimum(
+                    1.0, delta_vp / jnp.sqrt(jnp.maximum(chi2v, 1e-12))
+                )
+                wv = wv * scalev
+            H = H + jnp.einsum("nki,n,nkj->ij", Jv, wv, Jv)
+            g = g + jnp.einsum("nki,nk->i", Jv, wv[:, None] * rv)
+            total = total + jnp.sum(jnp.where(activev, chi2v, 0.0))
+
         if axes_c is not None:
             # v_k = R_cw a_w,k; r_k = v_k - a_c,k; for T_new = exp(xi) T the
             # rotation-block Jacobian is -hat(v_k), translation block zero.
@@ -252,7 +301,8 @@ def pose_optimization(
             total = total + jnp.sum(wa * jnp.sum(r_ax * r_ax, axis=-1))
         return H, g, total
 
-    def eval_chi2(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier):
+    def eval_chi2(T, inliers):
+        pt_inlier, ln_inlier, pl_inlier, p3_inlier, vp_inlier = inliers
         _, _, _, chi2, okd = _point_terms(T, pts, intr)
         active = pts.valid & pt_inlier & okd
         t1 = jnp.sum(jnp.where(active, chi2, 0.0))
@@ -266,22 +316,24 @@ def pose_optimization(
             _, _, chi23, has3 = _point3d_terms(T, pts, inv_sigma2_3d)
             active3 = pts.valid & has3 & p3_inlier
             t1 = t1 + jnp.sum(jnp.where(active3, chi23, 0.0))
+        if dirs is not None:
+            *_, chi2v = _dir_terms(T, dirs)
+            activev = dirs.valid & vp_inlier
+            t1 = t1 + jnp.sum(jnp.where(activev, chi2v, 0.0))
         if axes_c is not None:
             r_ax = axes_w @ T[:3, :3].T - axes_c
             wa = jnp.broadcast_to(jnp.asarray(w_axis, T.dtype), (3,))
             t1 = t1 + jnp.sum(wa * jnp.sum(r_ax * r_ax, axis=-1))
         return t1
 
-    def lm_round(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust):
+    def lm_round(T, inliers, robust):
         def body(_, carry):
             T, lam = carry
-            H, g, chi2_cur = build_normal_eqs(
-                T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust
-            )
+            H, g, chi2_cur = build_normal_eqs(T, inliers, robust)
             Hd = H + lam * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(6, dtype=H.dtype)
             delta = -jnp.linalg.solve(Hd, g)
             T_new = se3.exp_se3(delta) @ T
-            chi2_new = eval_chi2(T_new, pt_inlier, ln_inlier, pl_inlier, p3_inlier)
+            chi2_new = eval_chi2(T_new, inliers)
             accept = (chi2_new < chi2_cur) & jnp.all(jnp.isfinite(T_new))
             T = jnp.where(accept, T_new, T)
             lam = jnp.where(accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e4))
@@ -295,8 +347,12 @@ def pose_optimization(
     ln_inlier = jnp.ones_like(lines.valid)
     pl_inlier = jnp.ones_like(planes.valid)
     p3_inlier = jnp.ones_like(pts.valid)
+    vp_inlier = (
+        jnp.ones_like(dirs.valid) if dirs is not None else jnp.ones((1,), bool)
+    )
     for rnd in range(n_rounds):
-        T = lm_round(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier, robust=rnd < 2)
+        inliers = (pt_inlier, ln_inlier, pl_inlier, p3_inlier, vp_inlier)
+        T = lm_round(T, inliers, robust=rnd < 2)
         # Re-classify: outliers with chi2 back under threshold recover
         # (reference: Optimizer.cc:1216-1246 e->setLevel(0/1) per round).
         _, _, _, chi2, okd = _point_terms(T, pts, intr)
@@ -308,10 +364,15 @@ def pose_optimization(
         if use_3d:
             _, _, chi23, _ = _point3d_terms(T, pts, inv_sigma2_3d)
             p3_inlier = chi23 <= chi2_3d
+        if dirs is not None:
+            *_, chi2v = _dir_terms(T, dirs)
+            vp_inlier = chi2v <= chi2_vp
 
     pt_inlier = pt_inlier & pts.valid
     ln_inlier = ln_inlier & lines.valid
     pl_inlier = pl_inlier & planes.valid
     n_in = jnp.sum(pt_inlier.astype(jnp.int32))
-    chi2_final = eval_chi2(T, pt_inlier, ln_inlier, pl_inlier, p3_inlier)
+    chi2_final = eval_chi2(
+        T, (pt_inlier, ln_inlier, pl_inlier, p3_inlier, vp_inlier)
+    )
     return PoseOptResult(T, pt_inlier, ln_inlier, pl_inlier, n_in, chi2_final)

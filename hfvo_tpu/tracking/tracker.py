@@ -32,7 +32,7 @@ from ..ops import lines3d as line3d_ops
 from ..ops import manhattan as manh_ops
 from ..ops import planes as plane_ops
 from ..ops import structural as struct_ops
-from ..solve.lm import LineObs, PlaneObs, PoseObs, pose_optimization
+from ..solve.lm import DirObs, LineObs, PlaneObs, PoseObs, pose_optimization
 from ..vomap.map import VOMap
 from . import matcher
 from .frontend import FrameFeatures, extract_frame, extract_frame_jit
@@ -61,7 +61,8 @@ def fused_track_step(
     mp_valid: jnp.ndarray,
     R_wm: jnp.ndarray,  # (3, 3) world Manhattan rotation (columns = axes)
     manh_valid: jnp.ndarray,  # () bool — Manhattan frame initialized
-    T_pred: jnp.ndarray,
+    T_pred_a: jnp.ndarray,  # (4, 4) see below
+    T_pred_b: jnp.ndarray,  # (4, 4)
     radius: float = 15.0,
     check_octave: bool = True,
 ):
@@ -69,9 +70,18 @@ def fused_track_step(
     point + line extraction -> projection matching -> hybrid pose LM. A
     single dispatch and a single host pull per frame (the reference spreads
     this over 4+ CPU threads and many locks; here XLA schedules it on-chip).
+
+    The pose prediction is composed INSIDE the program as
+    `T_pred = T_pred_a @ T_pred_b @ T_pred_a` so the pipelined tracker can
+    chain a constant-velocity prediction on the still-in-flight previous
+    pose without any eager device ops (each eager op is a separate
+    execution over an RTT-bound transport). Synchronous callers pass
+    (T_pred, inv(T_pred)) — the identity A inv(A) A = A — and pipelined
+    callers (T_prev_device, inv(T_prevprev)) — constant velocity.
     """
     gray = gray_u8.astype(jnp.float32)
     depth = depth_mm.astype(jnp.float32) * 1e-3
+    T_pred = T_pred_a @ T_pred_b @ T_pred_a
 
     R_cm_ref = None
     axes_c_lm = None
@@ -222,11 +232,26 @@ def fused_track_step(
             inv_sigma2=jnp.ones((2 * ln_local.shape[0],)),
             valid=jnp.concatenate([lmatched, lmatched]) & jnp.concatenate([lf.valid, lf.valid]),
         )
+        # Vanishing-point direction edges: the matched map line's world
+        # direction against the frame's depth-fitted 3D direction — a
+        # translation-free rotation constraint (reference:
+        # DistVp2VpOnlyPose per matched line, src/Optimizer.cc:820-860).
+        dml = ml_X1[safe] - ml_X0[safe]
+        dml_n = jnp.linalg.norm(dml, axis=-1, keepdims=True)
+        d3r = l3d.X1_c - l3d.X0_c  # structurally-refined observation
+        d3r = d3r / (jnp.linalg.norm(d3r, axis=-1, keepdims=True) + 1e-9)
+        dobs = DirObs(
+            d_w=dml / jnp.maximum(dml_n, 1e-9),
+            d_c=d3r,
+            inv_sigma2=jnp.ones((ln_local.shape[0],)),
+            valid=lmatched & v3 & (dml_n[:, 0] > 1e-3),
+        )
     else:
         lf = l3d = None
         ln_local = jnp.zeros((0,), jnp.int32)
         lres = None
         lobs = None
+        dobs = None
 
     if cfg.use_planes:
         seg = plane_ops.segment_planes(
@@ -261,7 +286,7 @@ def fused_track_step(
         seg = pres = pobs = None
 
     opt = pose_optimization(
-        T_lm0, pts, cfg.camera, lines=lobs, planes=pobs,
+        T_lm0, pts, cfg.camera, lines=lobs, planes=pobs, dirs=dobs,
         axes_c=axes_c_lm, axes_w=axes_w_lm, w_axis=w_axis,
         chi2_mono=cfg.tracking.chi2_mono,
         chi2_stereo=cfg.tracking.chi2_stereo,
@@ -321,6 +346,9 @@ class Tracker:
         self._last_plane_out = None
         self._last_axes = None
         self._last_n_matches = 0
+        self._pending = None  # in-flight pipelined frame (track_rgbd_async)
+        self._used_fallback = False
+        self._pads = (None, None)
         # World Manhattan rotation (columns = axes) once initialized
         # (reference: Map::SetWorldManhAxis, src/Map.cc:144).
         self.R_wm = np.eye(3, dtype=np.float32)
@@ -361,9 +389,10 @@ class Tracker:
             self._initialize(feats, gray_f, depth_f, T_cw_init)
             self._record_trajectory()
             return TrackResult(self.state, self.T_cw.copy(), 0, True)
-        gray = gray_u8
-        depth = depth_u16
+        return self._track_prepared(gray_u8, depth_u16)
 
+    def _track_prepared(self, gray, depth) -> TrackResult:
+        """Synchronous tracking given already-uploaded uint8/uint16 frames."""
         T_pred = self.velocity @ self.T_cw
         if self.state is TrackState.LOST:
             # Relocalize by appearance before attempting to track
@@ -372,10 +401,18 @@ class Tracker:
             if T_reloc is not None:
                 T_pred = T_reloc
                 self.velocity = np.eye(4, dtype=np.float32)
-        ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(gray, depth, T_pred)
+        five = self._track_local_map(gray, depth, T_pred)
+        return self._post_track(five, gray, depth)
+
+    def _post_track(self, five, gray, depth) -> TrackResult:
+        """Everything after the primary fused-step result: fallback chain,
+        pose/velocity update, keyframe policy, mapping, trajectory."""
+        ok, T_new, pt_per_kp, n_matches, feats = five
+        self._used_fallback = False
         if not ok:
             # Wide-window recovery from the last pose (reference falls back
             # from the motion model to wider searches the same way).
+            self._used_fallback = True
             ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(
                 gray, depth, self.T_cw, radius=50.0, check_octave=False
             )
@@ -428,6 +465,99 @@ class Tracker:
             self.state = TrackState.LOST
         self._record_trajectory()
         return TrackResult(self.state, self.T_cw.copy(), n_matches, is_kf)
+
+    # ---- pipelined (one-frame-lag) tracking ---------------------------
+
+    def track_rgbd_async(
+        self, gray: np.ndarray, depth: np.ndarray,
+        T_cw_init: Optional[np.ndarray] = None,
+    ) -> list:
+        """One-frame-lag pipelined tracking for RTT-bound transports.
+
+        Dispatches this frame's fused step against a device-resident
+        constant-velocity prediction chained on the still-in-flight previous
+        result, then resolves the PREVIOUS frame — so device compute and
+        transfers overlap host bookkeeping instead of serializing
+        (the reference gets the same overlap from its mapping/tracking
+        thread split, src/System.cc:74-90). Returns the TrackResults that
+        became final during this call (usually the previous frame's; empty
+        on the first call). Call `flush()` at sequence end.
+
+        Keyframe insertion and map updates lag one frame; the dispatched
+        frame tracks against the snapshot as of two frames ago, matching
+        the reference's asynchronous LocalMapping semantics.
+        """
+        if self.state is not TrackState.OK:
+            out = []
+            out.extend(self.flush())
+            out.append(self.track_rgbd(gray, depth, T_cw_init))
+            return out
+
+        self.frame_id += 1
+        fid = self.frame_id
+        gray_np = np.asarray(gray)
+        depth_np = np.asarray(depth)
+        gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
+        depth_u16 = jnp.asarray(
+            np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
+        )
+
+        if self._pending is None:
+            T_pred = (self.velocity @ self.T_cw).astype(np.float32)
+            T_pred_b = None
+        else:
+            # Constant-velocity prediction entirely inside the fused jit:
+            # the pending frame's pose is still in flight; chaining keeps
+            # the dispatch asynchronous, and composing T_prev inv(T_pp)
+            # T_prev inside the program avoids per-frame eager device ops
+            # (each would be its own execution over the tunnel).
+            T_pred = self._pending["out"][0]
+            T_pred_b = np.linalg.inv(self.T_cw).astype(np.float32)
+        args = self.prepare_step_args(gray_u8, depth_u16, T_pred, T_pred_b)
+        out_dev = fused_track_step(self.cfg, *args)
+        prev = self._pending
+        self._pending = dict(
+            out=out_dev, fid=fid, gray=gray_u8, depth=depth_u16,
+            pads=self._pads,
+        )
+        if prev is None:
+            return []
+        return self._resolve_pending(prev)
+
+    def flush(self) -> list:
+        """Resolve any in-flight pipelined frame; returns its TrackResults."""
+        if getattr(self, "_pending", None) is None:
+            return []
+        prev = self._pending
+        self._pending = None
+        return self._resolve_pending(prev)
+
+    def _resolve_pending(self, p) -> list:
+        saved_fid = self.frame_id
+        self.frame_id = p["fid"]
+        try:
+            self._pads = p["pads"]  # pad maps as of this frame's dispatch
+            out_host = jax.device_get(p["out"])
+            five = self.finish_step(out_host)
+            res = self._post_track(five, p["gray"], p["depth"])
+        finally:
+            self.frame_id = saved_fid
+        results = [res]
+        if (res.state is not TrackState.OK or self._used_fallback) and (
+            self._pending is not None
+        ):
+            # The in-flight successor was chained on a pose that turned out
+            # wrong; its dispatch is poisoned. Re-track it synchronously
+            # from the corrected state.
+            dead = self._pending
+            self._pending = None
+            saved_fid = self.frame_id
+            self.frame_id = dead["fid"]
+            try:
+                results.append(self._track_prepared(dead["gray"], dead["depth"]))
+            finally:
+                self.frame_id = saved_fid
+        return results
 
     def _record_trajectory(self):
         ref = self.vomap.next_kf_slot - 1
@@ -547,18 +677,29 @@ class Tracker:
         # cost ~25 ms each while the whole ~150 KB batch costs one RTT.
         return self.finish_step(jax.device_get(out_device))
 
-    def prepare_step_args(self, gray, depth, T_pred):
+    def prepare_step_args(self, gray, depth, T_pred, T_pred_b=None):
         """Device inputs for `fused_track_step` (split out so a batch runner
-        can stack several trackers' inputs and vmap one call)."""
+        can stack several trackers' inputs and vmap one call).
+
+        `T_pred` may be a host pose (T_pred_b defaults to its inverse — the
+        A inv(A) A = A identity) or an in-flight device pose with T_pred_b
+        the host-side inv(T_prevprev) for on-device constant velocity."""
         mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad = (
             self._local_map_snapshot()
         )
         self._pads = (pad, lpad)
+        if T_pred_b is None:
+            T_pred_b = np.linalg.inv(np.asarray(T_pred)).astype(np.float32)
+        if not isinstance(T_pred, jax.Array):
+            # Host pose: upload; device poses pass through untouched (any
+            # eager op on them would be a separate tunnel execution).
+            T_pred = jnp.asarray(np.asarray(T_pred).astype(np.float32))
         return (
             gray, depth, mX, mdesc, mvalid, moct,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
             jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
-            jnp.asarray(T_pred.astype(np.float32)),
+            T_pred,
+            jnp.asarray(T_pred_b),
         )
 
     def finish_step(self, out_host):
@@ -800,7 +941,7 @@ class Tracker:
             need_close = tracked_close < 100 and untracked_close > 70
         # Absolute coverage floor: matches decaying regardless of the ratio
         # means the local map no longer covers the view.
-        coverage_low = n_matches < 300
+        coverage_low = n_matches < self.cfg.tracking.min_coverage_kf
         return (ratio_low or need_close or coverage_low) and n_matches > 15
 
     def _create_keyframe(self, feats: FrameFeatures, pt_per_kp: np.ndarray):

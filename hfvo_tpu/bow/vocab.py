@@ -29,13 +29,40 @@ _rs = np.random.RandomState(123)
 # Bipolar prototype bank (W, 256).
 PROTOTYPES = (_rs.rand(N_WORDS, 256) < 0.5).astype(np.float32) * 2.0 - 1.0
 
+# Optional trained DBoW2 vocabulary (set_vocabulary). When active,
+# compute_words descends the tree and bow_histogram folds word ids into
+# the SAME fixed-width histogram (word_id mod N_WORDS) so database shapes
+# stay jit-static regardless of vocabulary size.
+_ACTIVE_TREE = None
+
+
+def set_vocabulary(path: str | None) -> None:
+    """Load a trained DBoW2 text vocabulary (e.g. ORBvoc.txt; reference:
+    System.cc:70-74 loadFromTextFile). Pass None to return to the
+    file-free LSH prototype bank."""
+    global _ACTIVE_TREE
+    if path is None:
+        _ACTIVE_TREE = None
+        return
+    from .dbow2 import load_dbow2_text
+
+    _ACTIVE_TREE = load_dbow2_text(path)
+
 
 @jax.jit
-def compute_words(desc: jnp.ndarray) -> jnp.ndarray:
-    """Packed descriptors (N, 8) uint32 -> word ids (N,) int32."""
+def _compute_words_lsh(desc: jnp.ndarray) -> jnp.ndarray:
     bits = unpack_bits(desc) * 2.0 - 1.0  # (N, 256) bipolar
     scores = jnp.dot(bits, jnp.asarray(PROTOTYPES).T, preferred_element_type=jnp.float32)
     return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
+def compute_words(desc: jnp.ndarray) -> jnp.ndarray:
+    """Packed descriptors (N, 8) uint32 -> word ids (N,) int32."""
+    if _ACTIVE_TREE is not None:
+        from .dbow2 import compute_words_tree
+
+        return compute_words_tree(desc, _ACTIVE_TREE) % N_WORDS
+    return _compute_words_lsh(desc)
 
 
 @jax.jit

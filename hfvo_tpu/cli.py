@@ -40,6 +40,10 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--checkpoint-out", default=None, help="save the final map state (npz)")
     ap.add_argument("--checkpoint-in", default=None, help="resume from a saved map state")
+    ap.add_argument(
+        "--vocabulary", default=None,
+        help="trained DBoW2 text vocabulary (ORBvoc.txt); default: LSH bank",
+    )
     args = ap.parse_args(argv)
 
     import jax
@@ -54,7 +58,10 @@ def main(argv=None) -> int:
     from .io import tum
     from .system import VOSystem
 
-    system = VOSystem(settings_yaml=args.settings, use_local_ba=not args.no_ba)
+    system = VOSystem(
+        settings_yaml=args.settings, use_local_ba=not args.no_ba,
+        vocabulary_path=args.vocabulary,
+    )
     factor = system.cfg.tracking.depth_map_factor
 
     frames = None

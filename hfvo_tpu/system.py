@@ -51,7 +51,15 @@ class VOSystem:
         config: Optional[VOConfig] = None,
         settings_yaml: Optional[str] = None,
         use_local_ba: bool = True,
+        vocabulary_path: Optional[str] = None,
     ):
+        if vocabulary_path is not None:
+            # Trained DBoW2 vocabulary for relocalization/loop retrieval
+            # (reference: System ctor loads ORBvoc.txt, src/System.cc:70-74).
+            # Without one, the file-free LSH bank is used.
+            from .bow.vocab import set_vocabulary
+
+            set_vocabulary(vocabulary_path)
         if config is None and settings_yaml is not None:
             from .io.yaml_config import config_from_yaml
 

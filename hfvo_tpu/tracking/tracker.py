@@ -522,6 +522,13 @@ class Tracker:
         )
         if prev is None:
             return []
+        # Start moving the previous result to the host asynchronously —
+        # by the time _resolve_pending blocks on it, the transfer (and
+        # usually the compute) has already happened under the new frame's
+        # dispatch, so the blocking get pays no extra round trip.
+        for leaf in jax.tree.leaves(prev["out"]):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
         return self._resolve_pending(prev)
 
     def flush(self) -> list:

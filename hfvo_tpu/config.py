@@ -46,6 +46,19 @@ class LineConfig:
     min_length_3d: float = 0.02  # reference: src/Frame.cc:1290
     depth_samples: int = 20  # samples along a segment for 3D fit (Frame.cc:1211)
     min_valid_depth_samples: int = 5  # reference: src/Frame.cc:1241
+    # Frame-to-frame line search (reference: LSDmatcher::
+    # SearchByGeomNApearance, src/LSDmatcher.cpp:36): descriptor + warped
+    # geometry gates for inheriting the previous frame's map-line matches.
+    f2f_max_desc_dist: float = 0.5
+    f2f_max_mid_dist: float = 40.0
+    f2f_max_angle: float = 0.2
+    # Manhattan-rotation-seeded optical-flow recovery of unmatched lines
+    # (reference: LSDmatcher::optical_flow_line, src/LSDmatcher.cpp:158-520,
+    # called every frame from TrackWithMotionModel, src/Tracking.cc:2299).
+    lk_recovery: bool = True
+    lk_samples: int = 16
+    lk_max_perp: float = 10.0  # recovered line vs projected map line (px)
+    lk_max_angle: float = 0.2
 
 
 @dataclass(frozen=True)
@@ -126,6 +139,13 @@ class TrackingConfig:
     # line/plane edges (the 3D term anchors to drifted map points).
     chi2_3d: float = 7.815
     inv_sigma2_3d: float = 0.0
+    # 30-bin rotation-consistency histogram in projection matching
+    # (reference: mbCheckOrientation, src/ORBmatcher.cc:37-39).
+    check_rotation_consistency: bool = True
+    # Epipolar triangulation of new map points at keyframe insertion
+    # (reference: LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:335
+    # — the only way landmarks beyond the depth range enter the map).
+    triangulate_new_points: bool = True
 
 
 @dataclass(frozen=True)

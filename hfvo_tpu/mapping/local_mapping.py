@@ -53,10 +53,28 @@ class LocalMapper:
             return False
         cap = self.cfg.cap
         K = cap.local_kfs
-        window = kf_ids[-K:]
-        # Oldest n_fixed in the window are the fixed frontier (gauge); the
-        # reference fixes all covisible-but-not-local KFs instead.
-        n_fixed = min(self.n_fixed, max(len(window) - 1, 1))
+        # Window = newest KF + its best-connected covisible neighbors; the
+        # fixed frontier = further covisible KFs that share points with the
+        # window but are not optimized (reference: LocalMapOptimization
+        # builds lLocalKeyFrames from covisibility and lFixedCameras from
+        # remaining observers, src/Optimizer.cc:3025-3120). The frontier
+        # goes FIRST in the pose array so rows [0, n_fixed) are fixed.
+        newest = vm.newest_kf_slot
+        free_kfs = vm.local_kf_window(K - self.n_fixed)
+        neigh_all = vm.covisible_kfs(newest, min_weight=1, cap=0)
+        frontier = np.asarray(
+            [s for s in neigh_all if s not in set(free_kfs.tolist())],
+            dtype=np.int64,
+        )[: max(self.n_fixed, cap.ba_fixed_kfs)]
+        if len(frontier) == 0:
+            # No covisible frontier (early map): fix the oldest window KF.
+            order = np.argsort(vm.keyframes.order[free_kfs], kind="stable")
+            free_kfs = free_kfs[order]
+            frontier, free_kfs = free_kfs[:1], free_kfs[1:]
+        if len(frontier) + len(free_kfs) > K:
+            frontier = frontier[: K - len(free_kfs)]
+        window = np.concatenate([frontier, free_kfs])
+        n_fixed = len(frontier)
 
         kf = vm.keyframes
         # Gather edges from the window's observation snapshots.
@@ -288,6 +306,90 @@ class LocalMapper:
         self.n_ba_runs += 1
         return True
 
+    def create_new_map_points(self, max_neighbors: int = 5) -> int:
+        """Triangulate new map points for the newest keyframe's
+        landmark-less keypoints against its best covisible neighbors
+        (reference: LocalMapping::CreateNewMapPoints,
+        src/LocalMapping.cc:335-660 — epipolar search per neighbor +
+        per-match SVD; here one batched program per neighbor).
+
+        Depth-based creation at keyframe insertion already covers keypoints
+        with valid depth; this path reaches beyond the depth range — points
+        the round-1 system could never landmark. Returns #points created."""
+        vm = self.vomap
+        newest = vm.newest_kf_slot
+        if newest < 0 or not vm.keyframes.valid[newest]:
+            return 0
+        kf = vm.keyframes
+        cam = self.cfg.camera
+        neigh = vm.covisible_kfs(newest, min_weight=10, cap=max_neighbors)
+        if len(neigh) == 0:
+            return 0
+        from ..ops.triangulate import triangulate_pair
+
+        cand_a = kf.kp_valid[newest] & (kf.point_id[newest] < 0)
+        uv_a = kf.obs[newest, :, :2]
+        T_a = kf.T_cw[newest]
+        C_a = -T_a[:3, :3].T @ T_a[:3, 3]
+        # The RGB-D virtual stereo baseline: neighbors closer than this add
+        # no parallax beyond what depth already gave (reference skips
+        # baseline < mb, src/LocalMapping.cc:398-410).
+        min_baseline = cam.bf / cam.fx
+        created = 0
+        for nb in neigh:
+            if not cand_a.any():
+                break
+            T_b = kf.T_cw[nb]
+            C_b = -T_b[:3, :3].T @ T_b[:3, 3]
+            if np.linalg.norm(C_a - C_b) < min_baseline:
+                continue
+            cand_b = kf.kp_valid[nb] & (kf.point_id[nb] < 0)
+            if not cand_b.any():
+                continue
+            T_ab = (T_a @ np.linalg.inv(T_b)).astype(np.float32)
+            res = triangulate_pair(
+                cam,
+                jnp.asarray(uv_a.astype(np.float32)),
+                jnp.asarray(kf.desc[newest]),
+                jnp.asarray(cand_a),
+                jnp.asarray(kf.octave[newest]),
+                jnp.asarray(kf.obs[nb, :, :2].astype(np.float32)),
+                jnp.asarray(kf.desc[nb]),
+                jnp.asarray(cand_b),
+                jnp.asarray(kf.octave[nb]),
+                jnp.asarray(T_ab),
+                scale_factor=self.cfg.orb.scale_factor,
+            )
+            ok = np.asarray(res.ok)
+            ia = np.nonzero(ok)[0]
+            if len(ia) == 0:
+                continue
+            ib = np.asarray(res.match_b)[ia]
+            X_a = np.asarray(res.X_a)[ia]
+            T_wa = np.linalg.inv(T_a)
+            X_w = (T_wa[:3, :3] @ X_a.T).T + T_wa[:3, 3]
+            normal = X_w - C_a[None, :]
+            normal /= np.linalg.norm(normal, axis=1, keepdims=True) + 1e-9
+            ids = vm.add_points(
+                X_w.astype(np.float32), kf.desc[newest][ia],
+                normal.astype(np.float32), kf.octave[newest][ia],
+                int(kf.frame_id[newest]),
+            )
+            made = ids >= 0
+            ia, ib, ids = ia[made], ib[made], ids[made]
+            if len(ia) == 0:
+                continue
+            # Register both observations (mono edges: u_r stays -1).
+            kf.point_id[newest, ia] = ids
+            kf.obs_valid[newest, ia] = True
+            kf.point_id[nb, ib] = ids
+            kf.obs_valid[nb, ib] = True
+            vm.points.n_obs[ids] = 2
+            vm.points.first_kf[ids] = newest
+            cand_a[ia] = False
+            created += len(ia)
+        return created
+
     def fuse_points(self, radius_px: float = 2.0, max_desc: int = 30) -> int:
         """Merge duplicate map points observed by the recent window.
 
@@ -299,10 +401,9 @@ class LocalMapper:
         is the more-observed one, and keyframe observations re-point to it.
         """
         vm = self.vomap
-        kf_ids = np.nonzero(vm.keyframes.valid)[0]
-        if len(kf_ids) < 2:
+        if vm.n_keyframes() < 2 or vm.newest_kf_slot < 0:
             return 0
-        newest = kf_ids[-1]
+        newest = vm.newest_kf_slot
         T = vm.keyframes.T_cw[newest]
         cam = self.cfg.camera
         ids = vm.local_point_ids(self.cfg.cap.local_kfs, self.cfg.cap.local_points)
@@ -319,35 +420,47 @@ class LocalMapper:
         cell = (np.floor(v / radius_px).astype(np.int64) * 10000
                 + np.floor(u / radius_px).astype(np.int64))
         cell[~vis] = -1
-        # Only buckets that actually contain >= 2 points need the pairwise
-        # check — visit those few cells directly instead of scanning all.
-        vals, inverse, counts = np.unique(cell, return_inverse=True, return_counts=True)
-        dup_cell_idx = np.nonzero((counts >= 2) & (vals >= 0))[0]
-        if len(dup_cell_idx) == 0:
+        # Vectorized duplicate detection: sort by (cell, depth); duplicate
+        # candidates are sort-adjacent entries sharing a cell (offset 1 and
+        # 2 cover the typical 2-3-point buckets; chains resolve over the
+        # repeated per-keyframe calls). One batched Hamming check — no
+        # per-bucket Python loop.
+        ord_idx = np.lexsort((z, cell))
+        sc = cell[ord_idx]
+        cand_a, cand_b = [], []
+        for off in (1, 2):
+            same = (sc[:-off] == sc[off:]) & (sc[:-off] >= 0)
+            cand_a.append(ord_idx[:-off][same])
+            cand_b.append(ord_idx[off:][same])
+        A = np.concatenate(cand_a)
+        B = np.concatenate(cand_b)
+        if len(A) == 0:
             return 0
-        bits = np.unpackbits(p.desc[ids].view(np.uint8), axis=1)
+        dz_ok = np.abs(z[A] - z[B]) <= 0.05
+        A, B = A[dz_ok], B[dz_ok]
+        if len(A) == 0:
+            return 0
+        da = p.desc[ids[A]].view(np.uint8)
+        db = p.desc[ids[B]].view(np.uint8)
+        pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1)
+        hd = pop[np.bitwise_xor(da, db)].sum(axis=1)
+        keep_pair = hd <= max_desc
+        A, B = A[keep_pair], B[keep_pair]
         remap = {}
-        for ci in dup_cell_idx:
-            bucket = np.nonzero(inverse == ci)[0]
-            if True:
-                for a_pos in range(len(bucket)):
-                    a = bucket[a_pos]
-                    ia = ids[a]
-                    if not p.valid[ia]:
-                        continue
-                    for b_pos in range(a_pos + 1, len(bucket)):
-                        b = bucket[b_pos]
-                        ib = ids[b]
-                        if not p.valid[ib] or abs(z[a] - z[b]) > 0.05:
-                            continue
-                        if int((bits[a] != bits[b]).sum()) > max_desc:
-                            continue
-                        keep, drop = (ia, ib) if p.n_obs[ia] >= p.n_obs[ib] else (ib, ia)
-                        remap[int(drop)] = int(keep)
-                        p.n_obs[keep] += p.n_obs[drop]
-                        p.n_found[keep] += p.n_found[drop]
-                        p.n_visible[keep] += p.n_visible[drop]
-                        p.valid[drop] = False
+        for a, b in zip(ids[A], ids[B]):  # only actual merge pairs (few)
+            ia, ib = int(a), int(b)
+            while ia in remap:
+                ia = remap[ia]
+            while ib in remap:
+                ib = remap[ib]
+            if ia == ib or not (p.valid[ia] and p.valid[ib]):
+                continue
+            keep, drop = (ia, ib) if p.n_obs[ia] >= p.n_obs[ib] else (ib, ia)
+            remap[drop] = keep
+            p.n_obs[keep] += p.n_obs[drop]
+            p.n_found[keep] += p.n_found[drop]
+            p.n_visible[keep] += p.n_visible[drop]
+            p.valid[drop] = False
         if remap:
             # Resolve chains drop->keep->keep2, then one vectorized re-point.
             def resolve(k):
@@ -363,32 +476,47 @@ class LocalMapper:
             pid[mask] = lut[pid[mask]]
         return len(remap)
 
-    def cull_keyframes(self) -> int:
-        """Drop keyframes whose points are >=90% observed by >=3 other KFs
-        (reference: LocalMapping::KeyFrameCulling, src/LocalMapping.cc:1875).
-        Round-1 approximation: redundancy by map-point observation counts."""
+    def cull_keyframes(self) -> list:
+        """Cull keyframes whose close points are >=90% observed by >=3 other
+        keyframes at the same or finer octave (reference:
+        LocalMapping::KeyFrameCulling, src/LocalMapping.cc:1875-1990).
+        Returns the culled slots so the tracker can re-anchor trajectory
+        entries before the slots are recycled."""
         vm = self.vomap
-        kf_ids = np.nonzero(vm.keyframes.valid)[0]
-        if len(kf_ids) <= 5:
-            return 0
-        culled = 0
+        order = vm.kf_slots_by_order()
+        if len(order) <= 5:
+            return []
         kf = vm.keyframes
-        for k in kf_ids[2:-2]:  # never cull frontier or newest
+        culled = []
+        # Per-point octave of each observation, gathered once: for candidate
+        # KF k, an observation elsewhere is redundant cover if its octave is
+        # <= the candidate's octave + 1 (reference: scaleLevel <=
+        # scaleLevel + 1, src/LocalMapping.cc:1930).
+        for k in order[2:-2]:  # never cull the map origin pair or newest two
             pid = kf.point_id[k]
             ov = kf.obs_valid[k] & (pid >= 0)
-            if ov.sum() == 0:
-                kf.valid[k] = False
-                culled += 1
+            n_own = int(ov.sum())
+            if n_own == 0:
+                culled.append(int(k))
                 continue
-            redundant = vm.points.n_obs[pid[ov]] >= 4
+            own_pids = pid[ov]
+            own_oct = kf.octave[k][ov]
+            oct_of = np.full((vm.points.valid.shape[0],), -2, np.int32)
+            oct_of[own_pids] = own_oct
+            flag = oct_of >= 0
+            others = np.nonzero(kf.valid)[0]
+            others = others[others != k]
+            opid = kf.point_id[others]
+            oov = kf.obs_valid[others] & (opid >= 0)
+            safe = np.maximum(opid, 0)
+            covers = oov & flag[safe] & (kf.octave[others] <= oct_of[safe] + 1)
+            n_cover = np.zeros((vm.points.valid.shape[0],), np.int32)
+            np.add.at(n_cover, safe[covers], 1)
+            redundant = n_cover[own_pids] >= 3
             if redundant.mean() > 0.9:
-                np.add.at(vm.points.n_obs, pid[ov], -1)
-                kf.obs_valid[k] = False
-                kf.point_id[k] = -1
-                kf.valid[k] = False
-                culled += 1
-        if culled and self._kf_db is not None:
-            for k in kf_ids[2:-2]:
-                if not kf.valid[k]:
-                    self._kf_db.erase(int(k))
+                culled.append(int(k))
+        for k in culled:
+            vm.release_keyframe(k)  # decrements landmark n_obs itself
+            if self._kf_db is not None:
+                self._kf_db.erase(int(k))
         return culled

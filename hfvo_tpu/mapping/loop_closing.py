@@ -2,13 +2,20 @@
 
 The reference ships this pipeline compiled but dormant (reference:
 src/LoopClosing.cc:57-101 — the work loop is commented out). Here it is
-active: BoW candidates from the keyframe database (excluding the recent
-covisible window, reference: DetectLoop src/LoopClosing.cc:105), geometric
-verification by mutual descriptor matching + 3D-3D Kabsch RANSAC (the
-reference's RGB-D Sim3 with fixed scale, src/LoopClosing.cc:233), and an
-SE(3) pose-graph optimization over odometry + loop edges
-(OptimizeEssentialGraph, src/Optimizer.cc:4339), after which landmarks are
-corrected with their reference keyframe (CorrectLoop, src/LoopClosing.cc:404).
+active: BoW candidates from the keyframe database with the covisible region
+excluded by co-observation (reference: DetectLoop consults
+GetConnectedKeyFrames, src/LoopClosing.cc:123-130), a consecutive-detection
+consistency gate (the reference requires candidate covisibility groups to be
+re-detected over consecutive keyframes, mnCovisibilityConsistencyTh,
+src/LoopClosing.cc:160-208), geometric verification by mutual descriptor
+matching + 3D-3D Kabsch RANSAC (the reference's RGB-D Sim3 with fixed scale,
+src/LoopClosing.cc:233), an SE(3) pose-graph optimization over odometry +
+loop edges (OptimizeEssentialGraph, src/Optimizer.cc:4339), and a full
+landmark correction: points, line endpoints, and plane coefficients/moments
+all transform with their owning keyframe's correction, followed by a
+duplicate-landmark fuse (reference: CorrectLoop transforms every landmark
+type with its reference KF then runs SearchAndFuse,
+src/LoopClosing.cc:404-560).
 """
 from __future__ import annotations
 
@@ -29,31 +36,70 @@ from ..vomap.map import VOMap
 class LoopCloser:
     cfg: VOConfig
     vomap: VOMap
-    min_gap_kfs: int = 15  # candidate must be this many KFs older
+    min_gap_kfs: int = 15  # candidate must be this many KFs older (by order)
     min_score: float = 0.12
     min_inliers: int = 40
+    # Consecutive-keyframe consistency requirement before geometric
+    # verification (reference: mnCovisibilityConsistencyTh = 3 covisibility
+    # groups, src/LoopClosing.cc:105-208; 2 here — detections are per-KF and
+    # the RANSAC + pose-graph residual still gate geometry).
+    consistency_th: int = 2
     n_loops_closed: int = 0
-    last_loop_kf: int = -100
+    last_loop_order: int = -100
+    _consistent_group: set = field(default_factory=set)
+    _consistency_count: int = 0
+
+    def _detect_candidate(self, tracker, cur: int) -> Optional[int]:
+        """BoW candidate outside the covisible region + consistency gate."""
+        vm = self.vomap
+        kf = vm.keyframes
+        order = vm.kf_slots_by_order()
+        pos_of = {int(s): i for i, s in enumerate(order)}
+        cur_pos = pos_of[cur]
+        hist = tracker.kf_db.hists[cur]
+        scores = 1.0 - 0.5 * np.abs(tracker.kf_db.hists - hist[None, :]).sum(axis=1)
+        scores[~tracker.kf_db.valid] = -1.0
+        scores[~kf.valid] = -1.0
+        # Exclude by co-observation (covisible KFs share the very points a
+        # loop would re-find) AND by temporal proximity in insertion order.
+        covis = vm.covisible_kfs(cur, min_weight=1, cap=0)
+        scores[covis] = -1.0
+        near = np.abs(kf.order[order] - kf.order[cur]) < self.min_gap_kfs
+        scores[order[near]] = -1.0
+        cand = int(np.argmax(scores))
+        if scores[cand] < self.min_score:
+            self._consistency_count = 0
+            self._consistent_group = set()
+            return None
+        # Consistency: the candidate region (candidate + its covisible
+        # group) must recur over consecutive keyframe insertions.
+        group = set(vm.covisible_kfs(cand, min_weight=1, cap=0).tolist())
+        group.add(cand)
+        if group & self._consistent_group:
+            self._consistency_count += 1
+        else:
+            self._consistency_count = 1
+        self._consistent_group = group
+        if self._consistency_count < self.consistency_th:
+            return None
+        return cand
 
     def detect_and_close(self, tracker) -> bool:
         """Try to close a loop at the newest keyframe. Returns True if a
         loop was found and the map was corrected."""
         vm = self.vomap
-        cur = vm.next_kf_slot - 1
-        if cur < self.min_gap_kfs or cur - self.last_loop_kf < 10:
+        cur = vm.newest_kf_slot
+        kf = vm.keyframes
+        if cur < 0 or vm.n_keyframes() < self.min_gap_kfs:
             return False
-        hist = tracker.kf_db.hists[cur]
-        scores = 1.0 - 0.5 * np.abs(tracker.kf_db.hists - hist[None, :]).sum(axis=1)
-        scores[~tracker.kf_db.valid] = -1
-        # Exclude the recent window (covisible region).
-        scores[max(cur - self.min_gap_kfs, 0) :] = -1
-        cand = int(np.argmax(scores))
-        if scores[cand] < self.min_score:
+        if kf.order[cur] - self.last_loop_order < 10:
+            return False
+        cand = self._detect_candidate(tracker, cur)
+        if cand is None:
             return False
 
         # Geometric verification: match current KF's observed points vs the
         # candidate's, RANSAC the relative camera transform.
-        kf = vm.keyframes
         from ..tracking import matcher
 
         idx_b, mok = matcher.match_descriptors_mutual(
@@ -91,9 +137,9 @@ class LoopCloser:
             return False
         T_cand_cur = np.asarray(res.T_ab)  # candidate-cam <- current-cam
 
-        # Pose graph: odometry edges between consecutive valid KFs (from
-        # current estimates) + the loop edge; oldest KF fixed.
-        kf_ids = np.nonzero(kf.valid)[0]
+        # Pose graph: odometry edges between order-consecutive valid KFs
+        # (from current estimates) + the loop edge; oldest KF fixed.
+        kf_ids = vm.kf_slots_by_order()
         K = len(kf_ids)
         slot_of = {int(s): i for i, s in enumerate(kf_ids)}
         T = kf.T_cw[kf_ids].astype(np.float32)
@@ -143,22 +189,65 @@ class LoopCloser:
         if not np.isfinite(T_new).all():
             return False
 
-        # Correct landmarks with their first-observing keyframe's correction
-        # (reference: CorrectLoop transforms MapPoints with their ref KF).
-        corrections = {
-            int(s): T_new[i] @ np.linalg.inv(T[i]) for i, s in enumerate(kf_ids)
-        }  # maps old cam frame -> new cam frame... applied in world:
-        # X_new = inv(T_new) @ T_old @ X_old per owning KF.
-        pt = vm.points
-        own = pt.first_kf.copy()
-        for s in kf_ids:
-            sel = pt.valid & (own == s)
-            if not sel.any():
-                continue
-            i = slot_of[int(s)]
-            M = np.linalg.inv(T_new[i]) @ T[i]
-            pt.X_w[sel] = (M[:3, :3] @ pt.X_w[sel].T).T + M[:3, 3]
+        self._correct_landmarks(kf_ids, T, T_new)
         kf.T_cw[kf_ids] = T_new
         self.n_loops_closed += 1
-        self.last_loop_kf = cur
+        self.last_loop_order = int(kf.order[cur])
+        self._consistency_count = 0
+        self._consistent_group = set()
+        # Post-loop fuse: the corrected sides of the loop now overlap —
+        # merge duplicated points and planes (reference: SearchAndFuse,
+        # src/LoopClosing.cc:560).
+        if tracker is not None and hasattr(tracker, "mapper"):
+            tracker.mapper.fuse_points()
+            vm.merge_planes()
+            tracker.invalidate_map_snapshot()
         return True
+
+    def _correct_landmarks(
+        self, kf_ids: np.ndarray, T_old: np.ndarray, T_new: np.ndarray
+    ) -> None:
+        """Apply each keyframe's pose correction to every landmark it owns:
+        points, line endpoints, and plane coefficients + accumulated moments
+        (reference: CorrectLoop transforms MapPoints/MapLines/MapPlanes with
+        their reference KF, src/LoopClosing.cc:439-474).
+
+        The world-frame correction of owner i is
+        ``M = inv(T_new[i]) @ T_old[i]`` (old world -> corrected world).
+        Planes transform covariantly: n' = R n, d' = d - n' . t; the running
+        moments transform as a rigid pushforward so later coefficient refits
+        stay consistent.
+        """
+        vm = self.vomap
+        pt, ln, pl = vm.points, vm.lines, vm.planes
+        slot_of = {int(s): i for i, s in enumerate(kf_ids)}
+        for s in kf_ids:
+            i = slot_of[int(s)]
+            M = np.linalg.inv(T_new[i]) @ T_old[i]
+            if np.allclose(M, np.eye(4), atol=1e-9):
+                continue
+            R, t = M[:3, :3], M[:3, 3]
+            sel = pt.valid & (pt.first_kf == s)
+            if sel.any():
+                pt.X_w[sel] = (R @ pt.X_w[sel].T).T + t
+            lsel = ln.valid & (ln.first_kf == s)
+            if lsel.any():
+                ln.X0_w[lsel] = (R @ ln.X0_w[lsel].T).T + t
+                ln.X1_w[lsel] = (R @ ln.X1_w[lsel].T).T + t
+            psel = pl.valid & (pl.first_kf == s)
+            if psel.any():
+                n_new = pl.pi_w[psel, :3] @ R.T
+                pl.pi_w[psel, 3] = pl.pi_w[psel, 3] - n_new @ t
+                pl.pi_w[psel, :3] = n_new
+                pl.centroid_w[psel] = (R @ pl.centroid_w[psel].T).T + t
+                Rd, td = R.astype(np.float64), t.astype(np.float64)
+                m_sum = pl.m_sum[psel]
+                m_w = pl.m_w[psel]
+                Rs = m_sum @ Rd.T  # (n, 3) = R m_sum
+                pl.m_outer[psel] = (
+                    np.einsum("ab,nbc,dc->nad", Rd, pl.m_outer[psel], Rd)
+                    + Rs[:, :, None] * td[None, None, :]
+                    + td[None, :, None] * Rs[:, None, :]
+                    + m_w[:, None, None] * np.outer(td, td)[None]
+                )
+                pl.m_sum[psel] = Rs + m_w[:, None] * td[None, :]

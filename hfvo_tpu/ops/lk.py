@@ -132,6 +132,61 @@ def warp_points_by_rotation(
 
 
 @partial(jax.jit, static_argnames=("intr", "n_pts"))
+def recover_lines_by_flow(
+    intr,
+    img0: jnp.ndarray,  # (H, W) previous frame
+    img1: jnp.ndarray,  # (H, W) current frame
+    p0_seg: jnp.ndarray,  # (NL, 2) segment endpoints in img0
+    p1_seg: jnp.ndarray,  # (NL, 2)
+    seg_valid: jnp.ndarray,  # (NL,) bool — which segments to track
+    R_10: jnp.ndarray,  # (3, 3) rotation prior (cam1 <- cam0)
+    n_pts: int = 16,
+):
+    """Batched rotation-seeded LK line recovery: every unmatched segment of
+    the previous frame tracks into the current frame in ONE pyramidal-LK
+    call sharing the image pyramids (the reference loops
+    `optical_flow_line` per line with a fresh cv::calcOpticalFlowPyrLK
+    each, src/LSDmatcher.cpp:158-520; here all NL*n_pts sample points
+    solve their 2x2 systems together on the VPU).
+
+    Returns (q0 (NL, 2), q1 (NL, 2), ok (NL,)).
+    """
+    NL = p0_seg.shape[0]
+    ts = (jnp.arange(n_pts, dtype=jnp.float32) + 0.5) / n_pts
+    pts = (
+        p0_seg[:, None, :]
+        + (p1_seg - p0_seg)[:, None, :] * ts[None, :, None]
+    )  # (NL, P, 2)
+    flat = pts.reshape(-1, 2)
+    guess = warp_points_by_rotation(intr, flat, R_10)
+    tracked, ok_pt = pyr_lk(img0, img1, flat, guess)
+    tracked = tracked.reshape(NL, n_pts, 2)
+    ok_pt = ok_pt.reshape(NL, n_pts) & seg_valid[:, None]
+    # Weighted PCA line refit per segment (vectorized; same math as the
+    # scalar recover_line_by_flow below).
+    w = ok_pt.astype(jnp.float32)
+    sw = jnp.sum(w, axis=1) + 1e-9  # (NL,)
+    c = jnp.sum(tracked * w[:, :, None], axis=1) / sw[:, None]  # (NL, 2)
+    d = tracked - c[:, None, :]
+    cxx = jnp.sum(w * d[..., 0] * d[..., 0], axis=1) / sw
+    cyy = jnp.sum(w * d[..., 1] * d[..., 1], axis=1) / sw
+    cxy = jnp.sum(w * d[..., 0] * d[..., 1], axis=1) / sw
+    phi = 0.5 * jnp.arctan2(2 * cxy, cxx - cyy)
+    u = jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=1)  # (NL, 2)
+    along = jnp.sum(d * u[:, None, :], axis=-1)  # (NL, P)
+    a_min = jnp.min(jnp.where(ok_pt, along, 1e9), axis=1)
+    a_max = jnp.max(jnp.where(ok_pt, along, -1e9), axis=1)
+    perp = jnp.abs(jnp.sum(d * jnp.stack([-u[:, 1], u[:, 0]], 1)[:, None, :], -1))
+    # Fit gate mirrors the reference's point-line distance tiers
+    # (src/LSDmatcher.cpp:420-470).
+    good_fit = jnp.sum((perp < 2.5) & ok_pt, axis=1) >= max(n_pts // 2, 5)
+    ok = seg_valid & good_fit & (a_max > a_min)
+    q0 = c + u * a_min[:, None]
+    q1 = c + u * a_max[:, None]
+    return q0, q1, ok
+
+
+@partial(jax.jit, static_argnames=("intr", "n_pts"))
 def recover_line_by_flow(
     intr,
     img0: jnp.ndarray,

@@ -78,6 +78,9 @@ def line_opt_struct(
     perp: jnp.ndarray,  # (NL, NL)
     axis_dir: jnp.ndarray,  # (NL, 3) Manhattan axis per line (zeros if none)
     axis_valid: jnp.ndarray,  # (NL,)
+    map_dir: jnp.ndarray | None = None,  # (M, 3) map-line dirs, camera frame
+    par_map: jnp.ndarray | None = None,  # (NL, M) frame-line ∥ map-line
+    perp_map: jnp.ndarray | None = None,  # (NL, M)
     n_iters: int = 10,
     w_struct: float = 20.0,
     w_anchor: float = 20.0,
@@ -87,17 +90,22 @@ def line_opt_struct(
 
     Mirrors LineOptStruct's two-round schedule: optimize, prune constraints
     with angle chi2 > 0.02, optimize again, write endpoints back
-    (reference: src/Optimizer.cc:1833-1875). Gradient steps come from
+    (reference: src/Optimizer.cc:1480-1876). Gradient steps come from
     autodiff of the total cost; anchors keep endpoints near measurements.
+    When `map_dir`/`par_map`/`perp_map` are given, frame lines are also
+    pulled par/perp to matched MAP line directions — the reference's
+    `computeStructConstInMap` constraints feeding the same optimization
+    (reference: src/Manhattan.cpp:163-214, called at src/Tracking.cc:2831;
+    map directions are fixed measurements, not variables).
     Returns (X0', X1').
     """
-    mid0 = 0.5 * (X0 + X1)
+    use_map = map_dir is not None
 
     def directions(X0v, X1v):
         d = X1v - X0v
         return d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
 
-    def cost(params, par_m, perp_m):
+    def cost(params, par_m, perp_m, par_mm, perp_mm):
         X0v, X1v = params
         u = directions(X0v, X1v)
         c = u @ u.T
@@ -110,19 +118,28 @@ def line_opt_struct(
         ca = jnp.sum(u * axis_dir, axis=-1)
         e_axis = jnp.where(axis_valid & valid, 1.0 - ca * ca, 0.0)
         e_anchor = jnp.sum((X0v - X0) ** 2 + (X1v - X1) ** 2, axis=-1)
-        return (
+        total = (
             w_struct * (jnp.sum(e_par) + jnp.sum(e_perp) + jnp.sum(e_axis))
             + w_anchor * jnp.sum(jnp.where(valid, e_anchor, 0.0))
         )
+        if use_map:
+            cm = u @ map_dir.T  # (NL, M)
+            total = total + w_struct * (
+                jnp.sum(jnp.where(par_mm, 1.0 - cm * cm, 0.0))
+                + jnp.sum(jnp.where(perp_mm, cm * cm, 0.0))
+            )
+        return total
 
     grad = jax.grad(cost)
 
-    def run_round(params, par_m, perp_m):
+    def run_round(params, par_m, perp_m, par_mm, perp_mm):
         def body(_, carry):
             params, lr = carry
-            g0, g1 = grad(params, par_m, perp_m)
+            g0, g1 = grad(params, par_m, perp_m, par_mm, perp_mm)
             new = (params[0] - lr * g0, params[1] - lr * g1)
-            better = cost(new, par_m, perp_m) < cost(params, par_m, perp_m)
+            better = cost(new, par_m, perp_m, par_mm, perp_mm) < cost(
+                params, par_m, perp_m, par_mm, perp_mm
+            )
             params = jax.tree.map(
                 lambda a, b: jnp.where(better, b, a), params, new
             )
@@ -140,14 +157,27 @@ def line_opt_struct(
     c0 = u0 @ u0.T
     par1 = par & (1.0 - jnp.abs(c0) <= chi2_prune)
     perp1 = perp & (jnp.abs(c0) <= chi2_prune)
+    zmap = jnp.zeros((X0.shape[0], 1), bool)
+    if use_map:
+        cm0 = jnp.abs(u0 @ map_dir.T)
+        par_m1 = par_map & (1.0 - cm0 <= chi2_prune)
+        perp_m1 = perp_map & (cm0 <= chi2_prune)
+    else:
+        par_m1 = perp_m1 = zmap
     params = (X0, X1)
-    params = run_round(params, par1, perp1)
+    params = run_round(params, par1, perp1, par_m1, perp_m1)
     # Second prune on optimized geometry + final round.
     u = directions(*params)
     c = u @ u.T
     par2 = par1 & (1.0 - c * c <= chi2_prune)
     perp2 = perp1 & (c * c <= chi2_prune)
-    params = run_round(params, par2, perp2)
+    if use_map:
+        cm = jnp.abs(u @ map_dir.T)
+        par_m2 = par_m1 & (1.0 - cm * cm <= chi2_prune)
+        perp_m2 = perp_m1 & (cm * cm <= chi2_prune)
+    else:
+        par_m2 = perp_m2 = zmap
+    params = run_round(params, par2, perp2, par_m2, perp_m2)
     X0n, X1n = params
     keep = valid[:, None]
     return jnp.where(keep, X0n, X0), jnp.where(keep, X1n, X1)

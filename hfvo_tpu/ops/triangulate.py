@@ -1,0 +1,158 @@
+"""Epipolar search + two-view triangulation of new map points.
+
+TPU-native equivalent of `LocalMapping::CreateNewMapPoints` (reference:
+src/LocalMapping.cc:335-660): the reference walks each unmatched keypoint of
+the new keyframe, scans the neighbor keyframe's grid rows near the epipolar
+line, and triangulates per match with a fresh cv::SVD. Here one jitted
+program scores ALL candidate pairs at once — a masked Hamming popcount
+matmul gated by the point-to-epipolar-line distance — and triangulates every
+mutual-best pair as a batched 4x4 symmetric eigensolve (DLT normal
+equations), so the whole neighbor runs as one device program with fixed
+shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import camera as camera_ops
+from ..geometry import se3
+from . import hamming
+
+
+class TriangulationResult(NamedTuple):
+    X_a: jnp.ndarray  # (C, 3) new point in frame-A camera coords
+    match_b: jnp.ndarray  # (C,) matched candidate index in B (-1 = none)
+    ok: jnp.ndarray  # (C,) bool — triangulation accepted
+
+
+def _skew(t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.array(
+        [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]],
+        dtype=t.dtype,
+    )
+
+
+@partial(jax.jit, static_argnames=("intr", "max_hamming"))
+def triangulate_pair(
+    intr,
+    uv_a: jnp.ndarray,  # (C, 2) keypoints of KF a (the new keyframe)
+    desc_a: jnp.ndarray,  # (C, 8) uint32
+    cand_a: jnp.ndarray,  # (C,) bool — unmatched, landmark-less keypoints
+    oct_a: jnp.ndarray,  # (C,) int32
+    uv_b: jnp.ndarray,  # (C, 2) keypoints of neighbor KF b
+    desc_b: jnp.ndarray,
+    cand_b: jnp.ndarray,
+    oct_b: jnp.ndarray,
+    T_ab: jnp.ndarray,  # (4, 4) a-camera <- b-camera
+    scale_factor: float = 1.2,
+    max_hamming: int = 50,
+) -> TriangulationResult:
+    """Match candidate keypoints of two keyframes along the epipolar
+    geometry and triangulate (reference: ORBmatcher::SearchForTriangulation
+    src/ORBmatcher.cc:668 + the acceptance checks of
+    src/LocalMapping.cc:470-650: positive depth in both views, parallax,
+    per-view chi2 reprojection gates, octave-scale consistency)."""
+    R_ab, t_ab = T_ab[:3, :3], T_ab[:3, 3]
+    K = jnp.array(
+        [[intr.fx, 0.0, intr.cx], [0.0, intr.fy, intr.cy], [0.0, 0.0, 1.0]],
+        jnp.float32,
+    )
+    Kinv = jnp.array(
+        [
+            [1.0 / intr.fx, 0.0, -intr.cx / intr.fx],
+            [0.0, 1.0 / intr.fy, -intr.cy / intr.fy],
+            [0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+    # Fundamental matrix b->a: x_a^T F x_b = 0 with F = K^-T [t]x R K^-1.
+    F = Kinv.T @ _skew(t_ab) @ R_ab @ Kinv
+
+    ha = jnp.concatenate([uv_a, jnp.ones_like(uv_a[:, :1])], axis=1)  # (C,3)
+    hb = jnp.concatenate([uv_b, jnp.ones_like(uv_b[:, :1])], axis=1)
+    # Distance of each b-keypoint to the epipolar line of each a-keypoint.
+    lines_b = ha @ F  # (C, 3): line in image b for every a-kp
+    num = jnp.abs(lines_b @ hb.T)  # (Ca, Cb)
+    den = jnp.sqrt(lines_b[:, 0] ** 2 + lines_b[:, 1] ** 2)[:, None] + 1e-9
+    epi_dist = num / den
+    sigma2_b = scale_factor ** (2.0 * oct_b.astype(jnp.float32))
+    epi_ok = epi_dist * epi_dist < 3.84 * sigma2_b[None, :]
+
+    mask = cand_a[:, None] & cand_b[None, :] & epi_ok
+    D = hamming.hamming_matrix(desc_a, desc_b)
+    b_of_a, mok = hamming.mutual_best(D, mask)
+    best_d = jnp.take_along_axis(
+        D, jnp.maximum(b_of_a, 0)[:, None], axis=1
+    )[:, 0]
+    matched = mok & (best_d <= max_hamming)
+    jb = jnp.maximum(b_of_a, 0)
+
+    # Normalized rays in each camera, both expressed in camera a.
+    ray_a = (Kinv @ ha.T).T  # (C, 3)
+    xb = (Kinv @ hb[jb].T).T  # (C, 3) in camera b
+    ray_b_in_a = xb @ R_ab.T  # rotate only — direction for parallax
+    cos_par = jnp.sum(ray_a * ray_b_in_a, axis=1) / (
+        jnp.linalg.norm(ray_a, axis=1) * jnp.linalg.norm(ray_b_in_a, axis=1)
+        + 1e-9
+    )
+
+    # DLT triangulation in frame a: rows from both projections. With
+    # P_a = [I|0], P_b = [R_ba|t_ba] (b-cam <- a-cam).
+    T_ba = jnp.linalg.inv(T_ab)
+    R_ba, t_ba = T_ba[:3, :3], T_ba[:3, 3]
+    Pa = jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], axis=1)
+    Pb = jnp.concatenate([R_ba, t_ba[:, None]], axis=1)
+
+    def dlt_rows(x, P):
+        # x: (C, 3) normalized homogeneous, P: (3, 4)
+        return jnp.stack(
+            [
+                x[:, 0:1] * P[2] - x[:, 2:3] * P[0],
+                x[:, 1:2] * P[2] - x[:, 2:3] * P[1],
+            ],
+            axis=1,
+        )  # (C, 2, 4)
+
+    A = jnp.concatenate([dlt_rows(ray_a, Pa), dlt_rows(xb, Pb)], axis=1)
+    AtA = jnp.einsum("cia,cib->cab", A, A)  # (C, 4, 4)
+    _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    Xh = V[:, :, 0]  # smallest eigenvector
+    w = Xh[:, 3]
+    X_a = Xh[:, :3] / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)[:, None]
+    X_b = X_a @ R_ba.T + t_ba
+
+    # Acceptance gates (reference: src/LocalMapping.cc:545-650).
+    za, zb = X_a[:, 2], X_b[:, 2]
+    pr_a = camera_ops.project(intr, X_a)
+    pr_b = camera_ops.project(intr, X_b)
+    sigma2_a = scale_factor ** (2.0 * oct_a.astype(jnp.float32))
+    err_a = jnp.sum((pr_a - uv_a) ** 2, axis=1)
+    err_b = jnp.sum((pr_b - uv_b[jb]) ** 2, axis=1)
+    reproj_ok = (err_a < 5.991 * sigma2_a) & (
+        err_b < 5.991 * sigma2_b[jb]
+    )
+    # Scale consistency: distance ratio must agree with the octave ratio
+    # within a factor (reference ratioFactor = 1.5 * scaleFactor).
+    dist_a = jnp.linalg.norm(X_a, axis=1)
+    dist_b = jnp.linalg.norm(X_b, axis=1)
+    ratio_dist = dist_b / jnp.maximum(dist_a, 1e-9)
+    ratio_oct = scale_factor ** (oct_a - oct_b[jb]).astype(jnp.float32)
+    rf = 1.5 * scale_factor
+    scale_ok = (ratio_dist < ratio_oct * rf) & (ratio_dist * rf > ratio_oct)
+
+    ok = (
+        matched
+        & (jnp.abs(w) > 1e-9)
+        & (cos_par < 0.9998)
+        & (cos_par > 0.0)
+        & (za > 0.05)
+        & (zb > 0.05)
+        & reproj_ok
+        & scale_ok
+        & jnp.isfinite(X_a).all(axis=1)
+    )
+    return TriangulationResult(X_a, jnp.where(ok, b_of_a, -1), ok)

@@ -53,6 +53,7 @@ class BatchTracker:
         assert len(grays) == self.n_seq
         results: List[Optional[TrackResult]] = [None] * self.n_seq
         batch_ids = []
+        batch_grays = []
         per_seq_args = []
         for s, tr in enumerate(self.trackers):
             tr.frame_id += 1
@@ -71,6 +72,7 @@ class BatchTracker:
             T_pred = tr.velocity @ tr.T_cw
             per_seq_args.append(tr.prepare_step_args(gray_u8, depth_u16, T_pred))
             batch_ids.append(s)
+            batch_grays.append(gray_u8)
 
         if batch_ids:
             stacked = [jnp.stack(cols) for cols in zip(*per_seq_args)]
@@ -78,7 +80,9 @@ class BatchTracker:
             for bi, s in enumerate(batch_ids):
                 tr = self.trackers[s]
                 out_s = jax.tree.map(lambda a: a[bi], outs)
-                ok, T_new, pt_per_kp, n_in, feats = tr.finish_step(out_s)
+                ok, T_new, pt_per_kp, n_in, feats = tr.finish_step(
+                    out_s, gray=batch_grays[bi]
+                )
                 is_kf = False
                 if ok:
                     tr.velocity = (T_new @ np.linalg.inv(tr.T_cw)).astype(np.float32)
@@ -90,7 +94,7 @@ class BatchTracker:
                         if tr.use_local_ba:
                             tr.mapper.run_local_ba()
                             tr.T_cw = tr.vomap.keyframes.T_cw[
-                                tr.vomap.next_kf_slot - 1
+                                tr.vomap.newest_kf_slot
                             ].copy()
                         tr.invalidate_map_snapshot()
                 else:

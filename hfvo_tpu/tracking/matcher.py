@@ -45,11 +45,19 @@ def search_by_projection(
     radius: float = 15.0,
     max_hamming: int = 80,
     check_octave: bool = True,
+    map_angle: jnp.ndarray | None = None,  # (L,) creation-keypoint IC angle
+    kp_angle: jnp.ndarray | None = None,  # (N,)
 ) -> ProjMatchResult:
     """Match projected landmarks to frame keypoints in a search window.
 
     The window radius scales with the keypoint octave like the reference
-    (r * scaleFactor^octave, src/ORBmatcher.cc:87-94).
+    (r * scaleFactor^octave, src/ORBmatcher.cc:87-94). When angles are
+    given, matches must agree with the dominant in-plane rotation: the
+    30-bin angle-difference histogram keeps only the 3 fullest bins
+    (reference: mbCheckOrientation + ComputeThreeMaxima,
+    src/ORBmatcher.cc:37-39,1632 — invariant to the global roll between the
+    creating keyframe and the current frame, which shifts all differences
+    by the same amount).
     """
     L = map_X.shape[0]
     N = kp_uv.shape[0]
@@ -81,6 +89,12 @@ def search_by_projection(
     key = jnp.where(matched, best_d * L + jnp.arange(L), INF_KEY)
     kp_min_key = jnp.full((N,), INF_KEY).at[best_kp].min(key)
     keep = matched & (key == kp_min_key[best_kp])
+
+    if map_angle is not None and kp_angle is not None:
+        rot_ok = hamming.rotation_consistency_mask(
+            kp_angle[best_kp], map_angle, keep
+        )
+        keep = keep & rot_ok
 
     pt_per_kp = jnp.full((N,), -1, jnp.int32)
     pt_per_kp = pt_per_kp.at[jnp.where(keep, best_kp, N)].set(
@@ -167,6 +181,57 @@ def search_lines_by_projection(
     )
     n = jnp.sum((per_f >= 0).astype(jnp.int32))
     return ProjMatchResult(per_f, n, vis)
+
+
+@partial(jax.jit, static_argnames=("max_desc_dist", "max_mid_dist", "max_angle"))
+def search_lines_f2f(
+    w0: jnp.ndarray,  # (P, 2) previous segments' endpoints, rotation-warped
+    w1: jnp.ndarray,  # into the current view (K R_cl K^-1)
+    prev_desc: jnp.ndarray,  # (P, D)
+    prev_valid: jnp.ndarray,  # (P,)
+    ln_p0: jnp.ndarray,  # (C, 2) current detections
+    ln_p1: jnp.ndarray,
+    ln_desc: jnp.ndarray,  # (C, D)
+    ln_valid: jnp.ndarray,
+    max_desc_dist: float = 0.5,
+    max_mid_dist: float = 40.0,
+    max_angle: float = 0.2,
+) -> ProjMatchResult:
+    """Frame-to-frame line matching by descriptor + warped geometry
+    (reference: LSDmatcher::SearchByGeomNApearance, src/LSDmatcher.cpp:36-156
+    — called from TrackWithMotionModel so the previous frame's map-line
+    matches can be inherited). Mutual best under midpoint-distance, angle
+    and band-descriptor gates. Returns the previous-segment index per
+    current segment (-1 = none)."""
+    from ..ops.lines import line_distance_matrix
+
+    P = w0.shape[0]
+    C = ln_p0.shape[0]
+    mid_p = 0.5 * (w0 + w1)
+    dir_p = w1 - w0
+    ang_p = jnp.arctan2(dir_p[:, 1], dir_p[:, 0])
+    mid_c = 0.5 * (ln_p0 + ln_p1)
+    dir_c = ln_p1 - ln_p0
+    ang_c = jnp.arctan2(dir_c[:, 1], dir_c[:, 0])
+    dmid = jnp.linalg.norm(mid_p[:, None, :] - mid_c[None, :, :], axis=-1)
+    da = jnp.abs(((ang_p[:, None] - ang_c[None, :]) + jnp.pi) % (2 * jnp.pi) - jnp.pi)
+    mask = (
+        prev_valid[:, None] & ln_valid[None, :]
+        & (dmid < max_mid_dist) & (da < max_angle)
+    )
+    D = line_distance_matrix(prev_desc, ln_desc)  # (P, C)
+    Di = jnp.clip((D * 1000).astype(jnp.int32), 0, 2000)
+    best_c, best_d, _ = hamming.masked_best2(Di, mask, invalid=10_000)
+    ok_p = best_d <= int(max_desc_dist * 1000)
+    # Mutual: the chosen current segment's best previous segment must agree.
+    best_p = jnp.argmin(jnp.where(mask, Di, 10_000), axis=0)
+    ok_p &= best_p[best_c] == jnp.arange(P)
+    per_c = jnp.full((C,), -1, jnp.int32)
+    per_c = per_c.at[jnp.where(ok_p, best_c, C)].set(
+        jnp.where(ok_p, jnp.arange(P, dtype=jnp.int32), -1), mode="drop"
+    )
+    n = jnp.sum((per_c >= 0).astype(jnp.int32))
+    return ProjMatchResult(per_c, n, prev_valid)
 
 
 class PlaneMatchResult(NamedTuple):

@@ -29,6 +29,7 @@ from ..mapping.local_mapping import LocalMapper
 from ..solve.ransac import ransac_rigid_3d3d
 from ..ops import lines as line_ops
 from ..ops import lines3d as line3d_ops
+from ..ops import lk as lk_ops
 from ..ops import manhattan as manh_ops
 from ..ops import planes as plane_ops
 from ..ops import structural as struct_ops
@@ -53,6 +54,7 @@ def fused_track_step(
     map_desc: jnp.ndarray,
     map_valid: jnp.ndarray,
     map_octave: jnp.ndarray,
+    map_angle: jnp.ndarray,  # (L,) creation-keypoint IC angle
     ml_X0: jnp.ndarray,  # (Ll, 3) map-line snapshot
     ml_X1: jnp.ndarray,
     ml_desc: jnp.ndarray,
@@ -63,6 +65,14 @@ def fused_track_step(
     manh_valid: jnp.ndarray,  # () bool — Manhattan frame initialized
     T_pred_a: jnp.ndarray,  # (4, 4) see below
     T_pred_b: jnp.ndarray,  # (4, 4)
+    T_prev_cw: jnp.ndarray,  # (4, 4) previous frame's pose (device ok)
+    prev_gray_u8: jnp.ndarray,  # (H, W) previous frame intensity
+    prev_p0: jnp.ndarray,  # (Ml, 2) previous frame's detected segments
+    prev_p1: jnp.ndarray,
+    prev_desc: jnp.ndarray,  # (Ml, D)
+    prev_lvalid: jnp.ndarray,  # (Ml,)
+    prev_row: jnp.ndarray,  # (Ml,) prev segment's map-line row in the
+    # CURRENT snapshot (-1 = none) — host remaps global ids at dispatch
     radius: float = 15.0,
     check_octave: bool = True,
 ):
@@ -143,6 +153,12 @@ def fused_track_step(
         jnp.arange(L, dtype=jnp.int32), map_octave,
         feats.uv, feats.desc, feats.octave, feats.valid,
         T_pred, cfg.camera, radius=radius, check_octave=check_octave,
+        map_angle=(
+            map_angle if cfg.tracking.check_rotation_consistency else None
+        ),
+        kp_angle=(
+            feats.angle if cfg.tracking.check_rotation_consistency else None
+        ),
     )
     pt_local = res.pt_id_per_kp  # (N,) row into snapshot or -1
     matched = pt_local >= 0
@@ -213,8 +229,26 @@ def fused_track_step(
         else:
             ax_dir = jnp.zeros_like(d3)
             ax_ok = jnp.zeros_like(v3)
+        # Frame-vs-MAP structural pairs: frame lines par/perp to local map
+        # lines constrain the same endpoint refinement (reference:
+        # Manhattan::computeStructConstInMap feeding LineOptStruct,
+        # src/Manhattan.cpp:163-214 via src/Tracking.cc:2831). Map
+        # directions rotate into the camera frame with the predicted pose
+        # and enter as fixed measurements.
+        ml_d_w = ml_X1 - ml_X0
+        ml_len = jnp.linalg.norm(ml_d_w, axis=-1, keepdims=True)
+        ml_d_w = ml_d_w / jnp.maximum(ml_len, 1e-9)
+        ml_dvalid = ml_valid & (ml_len[:, 0] > 1e-3)
+        d3_w = d3 @ T_pred[:3, :3]  # R_cw^T d_c rowwise
+        par_map, perp_map = struct_ops.discover_pairs_vs_map(
+            d3_w, v3, ml_d_w, ml_dvalid,
+            par_deg=cfg.manhattan.par_deg_map,
+            perp_deg=cfg.manhattan.perp_deg_map,
+        )
+        ml_d_c = ml_d_w @ T_pred[:3, :3].T  # rows: R_cw d_w
         X0r, X1r = struct_ops.line_opt_struct(
-            l3d.X0_c, l3d.X1_c, v3, pairs.par, pairs.perp, ax_dir, ax_ok
+            l3d.X0_c, l3d.X1_c, v3, pairs.par, pairs.perp, ax_dir, ax_ok,
+            map_dir=ml_d_c, par_map=par_map, perp_map=perp_map,
         )
         l3d = l3d._replace(X0_c=X0r, X1_c=X1r)
         lres = matcher.search_lines_by_projection(
@@ -223,14 +257,98 @@ def fused_track_step(
             T_pred, cfg.camera,
         )
         ln_local = lres.pt_id_per_kp  # (M,) map-line row per segment or -1
+
+        # Frame-to-frame line search: current segments that the projection
+        # search left unmatched inherit the previous frame's map-line match
+        # when descriptor + rotation-warped geometry agree (reference:
+        # LSDmatcher::SearchByGeomNApearance in TrackWithMotionModel,
+        # src/LSDmatcher.cpp:36-156, src/Tracking.cc:2290).
+        R_cl = T_pred[:3, :3] @ T_prev_cw[:3, :3].T
+        prev_gray = prev_gray_u8.astype(jnp.float32)
+        w0 = lk_ops.warp_points_by_rotation(cfg.camera, prev_p0, R_cl)
+        w1 = lk_ops.warp_points_by_rotation(cfg.camera, prev_p1, R_cl)
+        f2f = matcher.search_lines_f2f(
+            w0, w1, prev_desc, prev_lvalid & (prev_row >= 0),
+            lf.p0, lf.p1, lf.desc, lf.valid,
+            max_desc_dist=cfg.lines.f2f_max_desc_dist,
+            max_mid_dist=cfg.lines.f2f_max_mid_dist,
+            max_angle=cfg.lines.f2f_max_angle,
+        )
+        inherit = (ln_local < 0) & (f2f.pt_id_per_kp >= 0)
+        inherited_row = prev_row[jnp.maximum(f2f.pt_id_per_kp, 0)]
+        ln_local = jnp.where(inherit, inherited_row, ln_local)
+
         lmatched = ln_local >= 0
         safe = jnp.maximum(ln_local, 0)
         line2d = lf.line2d  # (M, 3)
+
+        # Manhattan-seeded LK recovery: previous-frame segments whose map
+        # line found NO match above are tracked into this frame with
+        # rotation-warped initial guesses and refit to a 2D line; the
+        # recovered observation re-enters the pose LM as extra line edges
+        # (reference: LSDmatcher::optical_flow_line called per frame,
+        # src/LSDmatcher.cpp:158-520, src/Tracking.cc:2299-2301).
+        Ll = ml_X0.shape[0]
+        row_matched = jnp.zeros((Ll,), bool).at[
+            jnp.where(lmatched, safe, Ll)
+        ].set(True, mode="drop")
+        prow_safe = jnp.maximum(prev_row, 0)
+        if cfg.lines.lk_recovery:
+            need = prev_lvalid & (prev_row >= 0) & ~row_matched[prow_safe]
+            q0, q1, rec_fit = lk_ops.recover_lines_by_flow(
+                cfg.camera, prev_gray, gray, prev_p0, prev_p1, need, R_cl,
+                n_pts=cfg.lines.lk_samples,
+            )
+            # Verify against the projected map line in the predicted view
+            # (reference gates on point-line distance + direction,
+            # src/LSDmatcher.cpp:420-470).
+            P0c = se3.transform(T_pred, ml_X0[prow_safe])
+            P1c = se3.transform(T_pred, ml_X1[prow_safe])
+            pr0 = camera_ops.project(cfg.camera, P0c)
+            pr1 = camera_ops.project(cfg.camera, P1c)
+            dirm = pr1 - pr0
+            lenm = jnp.linalg.norm(dirm, axis=-1) + 1e-9
+            um = dirm / lenm[:, None]
+            nm = jnp.stack([-um[:, 1], um[:, 0]], axis=1)
+            front = (P0c[:, 2] > 0.1) & (P1c[:, 2] > 0.1)
+            dperp = jnp.maximum(
+                jnp.abs(jnp.sum((q0 - pr0) * nm, axis=1)),
+                jnp.abs(jnp.sum((q1 - pr0) * nm, axis=1)),
+            )
+            dq = q1 - q0
+            lenq = jnp.linalg.norm(dq, axis=-1) + 1e-9
+            cosang = jnp.abs(jnp.sum(dq * um, axis=1)) / lenq
+            rec_ok = (
+                need & rec_fit & front
+                & (dperp < cfg.lines.lk_max_perp)
+                & (cosang > jnp.cos(cfg.lines.lk_max_angle))
+                & (lenq > 10.0)
+            )
+            # Homogeneous 2D line through the recovered endpoints,
+            # normalized like detect_lines' line2d.
+            rl = jnp.cross(
+                jnp.concatenate([q0, jnp.ones_like(q0[:, :1])], axis=1),
+                jnp.concatenate([q1, jnp.ones_like(q1[:, :1])], axis=1),
+            )
+            rl = rl / (jnp.linalg.norm(rl[:, :2], axis=1, keepdims=True) + 1e-9)
+            rec_rows = jnp.where(rec_ok, prev_row, -1)
+        else:
+            rec_ok = jnp.zeros_like(prev_lvalid)
+            rl = jnp.zeros((prev_p0.shape[0], 3), jnp.float32)
+            rec_rows = jnp.full((prev_p0.shape[0],), -1, jnp.int32)
+
         lobs = LineObs(
-            X_w=jnp.concatenate([ml_X0[safe], ml_X1[safe]]),
-            line2d=jnp.concatenate([line2d, line2d]),
-            inv_sigma2=jnp.ones((2 * ln_local.shape[0],)),
-            valid=jnp.concatenate([lmatched, lmatched]) & jnp.concatenate([lf.valid, lf.valid]),
+            X_w=jnp.concatenate(
+                [ml_X0[safe], ml_X1[safe], ml_X0[prow_safe], ml_X1[prow_safe]]
+            ),
+            line2d=jnp.concatenate([line2d, line2d, rl, rl]),
+            inv_sigma2=jnp.ones((2 * ln_local.shape[0] + 2 * rec_ok.shape[0],)),
+            valid=jnp.concatenate(
+                [
+                    lmatched & lf.valid, lmatched & lf.valid,
+                    rec_ok, rec_ok,
+                ]
+            ),
         )
         # Vanishing-point direction edges: the matched map line's world
         # direction against the frame's depth-fitted 3D direction — a
@@ -252,6 +370,8 @@ def fused_track_step(
         lres = None
         lobs = None
         dobs = None
+        rec_rows = None
+        rec_ok = None
 
     if cfg.use_planes:
         seg = plane_ops.segment_planes(
@@ -297,8 +417,16 @@ def fused_track_step(
     line_out = None
     if cfg.use_lines:
         M = ln_local.shape[0]
-        ln_inlier = opt.line_inlier[:M] & opt.line_inlier[M:]
-        line_out = (lf, l3d, ln_local, ln_inlier, lres.visible)
+        Mr = rec_ok.shape[0]
+        ln_inlier = opt.line_inlier[:M] & opt.line_inlier[M : 2 * M]
+        rec_inlier = (
+            opt.line_inlier[2 * M : 2 * M + Mr]
+            & opt.line_inlier[2 * M + Mr :]
+            & rec_ok
+        )
+        line_out = (
+            lf, l3d, ln_local, ln_inlier, lres.visible, rec_rows, rec_inlier,
+        )
     plane_out = None
     if cfg.use_planes:
         plane_out = (seg, pres.map_idx, pres.kind, opt.plane_inlier)
@@ -343,6 +471,7 @@ class Tracker:
         self.velocity = np.eye(4, dtype=np.float32)
         self._snap = None
         self._last_line_out = None
+        self._prev_line_feed = None  # last resolved frame's segments + gray
         self._last_plane_out = None
         self._last_axes = None
         self._last_n_matches = 0
@@ -445,21 +574,26 @@ class Tracker:
                 # trip the 0.75 ratio and churns keyframes.
                 self.n_matches_ref_kf = max(n_matches, 1)
                 is_kf = True
+                # Epipolar triangulation reaches keypoints depth could not
+                # landmark (reference order: CreateNewMapPoints runs before
+                # fuse + BA, src/LocalMapping.cc:82-122).
+                if self.cfg.tracking.triangulate_new_points:
+                    self.mapper.create_new_map_points()
                 self.mapper.fuse_points()
                 if self.use_local_ba:
                     self.mapper.run_local_ba()
                     # BA may have moved the newest KF (= this frame's pose).
                     self.T_cw = self.vomap.keyframes.T_cw[
-                        self.vomap.next_kf_slot - 1
+                        self.vomap.newest_kf_slot
                     ].copy()
                 if self.use_loop_closing and self.loop_closer.detect_and_close(self):
                     self.T_cw = self.vomap.keyframes.T_cw[
-                        self.vomap.next_kf_slot - 1
+                        self.vomap.newest_kf_slot
                     ].copy()
                 # Redundant-keyframe culling every few insertions
                 # (reference: LocalMapping::KeyFrameCulling runs per KF).
                 if self.vomap.n_keyframes() % 4 == 0:
-                    self.mapper.cull_keyframes()
+                    self._reanchor_trajectory(self.mapper.cull_keyframes())
                 self.invalidate_map_snapshot()
         else:
             self.state = TrackState.LOST
@@ -545,7 +679,7 @@ class Tracker:
         try:
             self._pads = p["pads"]  # pad maps as of this frame's dispatch
             out_host = jax.device_get(p["out"])
-            five = self.finish_step(out_host)
+            five = self.finish_step(out_host, gray=p["gray"])
             res = self._post_track(five, p["gray"], p["depth"])
         finally:
             self.frame_id = saved_fid
@@ -566,13 +700,44 @@ class Tracker:
                 self.frame_id = saved_fid
         return results
 
+    def _reanchor_trajectory(self, culled: list) -> None:
+        """Re-chain trajectory entries referencing culled keyframes onto the
+        nearest surviving keyframe (reference keeps the relative pose to a
+        reference KF and re-parents on cull, src/System.cc:372-401 +
+        KeyFrame::SetBadFlag). Must run before culled slots are recycled —
+        their final poses are still in the table at this point."""
+        if not culled:
+            return
+        vm = self.vomap
+        surv = vm.kf_slots_by_order()
+        # The victims may still be flagged valid (the eviction path re-anchors
+        # before releasing the slot so the pose is guaranteed live) — they are
+        # never survivors.
+        surv = surv[~np.isin(surv, culled)]
+        if len(surv) == 0:
+            return
+        kf = vm.keyframes
+        refs = np.fromiter(
+            (r for r, _ in self._traj_rel), np.int64, len(self._traj_rel)
+        )
+        for k in culled:
+            hits = np.nonzero(refs == k)[0]
+            if len(hits) == 0:
+                continue
+            j = int(surv[np.argmin(np.abs(kf.frame_id[surv] - kf.frame_id[k]))])
+            D = (kf.T_cw[k] @ np.linalg.inv(kf.T_cw[j])).astype(np.float32)
+            for i in hits:
+                ref_i, T_cr = self._traj_rel[i]
+                self._traj_rel[i] = (j, (T_cr @ D).astype(np.float32))
+            refs[hits] = j
+
     def _record_trajectory(self):
-        ref = self.vomap.next_kf_slot - 1
+        ref = self.vomap.newest_kf_slot
         if ref < 0:
             self._traj_rel.append((-1, self.T_cw.copy()))
             return
         T_cr = self.T_cw @ np.linalg.inv(self.vomap.keyframes.T_cw[ref])
-        self._traj_rel.append((ref, T_cr.astype(np.float32)))
+        self._traj_rel.append((int(ref), T_cr.astype(np.float32)))
 
     def get_trajectory(self) -> np.ndarray:
         """(F, 4, 4) camera-to-world poses, chained through the *current*
@@ -613,6 +778,14 @@ class Tracker:
             self._last_line_out = (
                 lf, l3d, np.full((self.cfg.cap.lines,), -1, np.int32)
             )
+            # Line feed so frame 1 can already run the f2f/LK channel.
+            self._prev_line_feed = dict(
+                gray=jnp.clip(gray, 0, 255).astype(jnp.uint8),
+                fid=self.frame_id,
+                p0=np.asarray(lf.p0), p1=np.asarray(lf.p1),
+                desc=np.asarray(lf.desc), valid=np.asarray(lf.valid),
+                gid=np.full((self.cfg.cap.lines,), -1, np.int32),
+            )
         if self.cfg.use_planes:
             seg = plane_ops.segment_planes(
                 depth, self.cfg.camera, max_planes=self.cfg.cap.planes
@@ -652,6 +825,7 @@ class Tracker:
             jnp.asarray(p.desc[safe]),
             jnp.asarray((pad >= 0) & p.valid[safe]),
             jnp.asarray(p.octave[safe]),
+            jnp.asarray(p.angle[safe]),
             jnp.asarray(t.X0_w[lsafe]),
             jnp.asarray(t.X1_w[lsafe]),
             jnp.asarray(t.desc[lsafe]),
@@ -682,18 +856,22 @@ class Tracker:
         # (pose, matches, features, line/plane outputs) in a single
         # device_get — the tunnel RTT dominates, so serial per-array pulls
         # cost ~25 ms each while the whole ~150 KB batch costs one RTT.
-        return self.finish_step(jax.device_get(out_device))
+        return self.finish_step(jax.device_get(out_device), gray=gray)
 
-    def prepare_step_args(self, gray, depth, T_pred, T_pred_b=None):
+    def prepare_step_args(self, gray, depth, T_pred, T_pred_b=None,
+                          T_prev=None):
         """Device inputs for `fused_track_step` (split out so a batch runner
         can stack several trackers' inputs and vmap one call).
 
         `T_pred` may be a host pose (T_pred_b defaults to its inverse — the
         A inv(A) A = A identity) or an in-flight device pose with T_pred_b
-        the host-side inv(T_prevprev) for on-device constant velocity."""
-        mX, mdesc, mvalid, moct, lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad = (
-            self._local_map_snapshot()
-        )
+        the host-side inv(T_prevprev) for on-device constant velocity.
+        `T_prev` is the last frame's pose (host or in-flight device) seeding
+        the rotation warp of the line f2f/LK channel."""
+        (
+            mX, mdesc, mvalid, moct, mangle,
+            lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad,
+        ) = self._local_map_snapshot()
         self._pads = (pad, lpad)
         if T_pred_b is None:
             T_pred_b = np.linalg.inv(np.asarray(T_pred)).astype(np.float32)
@@ -701,16 +879,49 @@ class Tracker:
             # Host pose: upload; device poses pass through untouched (any
             # eager op on them would be a separate tunnel execution).
             T_pred = jnp.asarray(np.asarray(T_pred).astype(np.float32))
+        if T_prev is None:
+            T_prev = self.T_cw
+        if not isinstance(T_prev, jax.Array):
+            T_prev = jnp.asarray(np.asarray(T_prev).astype(np.float32))
+        # Previous-frame line feed for the f2f + LK-recovery channel; the
+        # stored GLOBAL map-line ids remap into the current snapshot's rows
+        # (the snapshot may have been rebuilt since the feed was captured).
+        Ml = self.cfg.cap.lines
+        feed = self._prev_line_feed
+        if feed is not None and self.cfg.use_lines:
+            inv = np.full((self.cfg.cap.map_lines,), -1, np.int32)
+            rows = np.nonzero(lpad >= 0)[0]
+            inv[lpad[rows]] = rows.astype(np.int32)
+            gid = feed["gid"]
+            prev_row = np.where(gid >= 0, inv[np.maximum(gid, 0)], -1)
+            prev_args = (
+                feed["gray"],
+                jnp.asarray(feed["p0"]), jnp.asarray(feed["p1"]),
+                jnp.asarray(feed["desc"]), jnp.asarray(feed["valid"]),
+                jnp.asarray(prev_row.astype(np.int32)),
+            )
+        else:
+            D = 36
+            prev_args = (
+                jnp.zeros_like(gray),
+                jnp.zeros((Ml, 2), jnp.float32), jnp.zeros((Ml, 2), jnp.float32),
+                jnp.zeros((Ml, D), jnp.float32), jnp.zeros((Ml,), bool),
+                jnp.full((Ml,), -1, jnp.int32),
+            )
         return (
-            gray, depth, mX, mdesc, mvalid, moct,
+            gray, depth, mX, mdesc, mvalid, moct, mangle,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
             jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
             T_pred,
             jnp.asarray(T_pred_b),
+            T_prev,
+            *prev_args,
         )
 
-    def finish_step(self, out_host):
-        """Host bookkeeping for one pulled step result."""
+    def finish_step(self, out_host, gray=None):
+        """Host bookkeeping for one pulled step result. `gray` is the
+        device-resident uint8 frame, kept as the LK source for the next
+        frame's line-recovery channel."""
         pad, lpad = self._pads
         (
             T_new, inlier, n_in, pt_local, visible, feats, line_out, plane_out,
@@ -729,7 +940,7 @@ class Tracker:
 
         self._last_line_out = None
         if line_out is not None:
-            lf, l3d, ln_local, ln_inlier, ln_vis = line_out
+            lf, l3d, ln_local, ln_inlier, ln_vis, rec_rows, rec_inlier = line_out
             ln_per_seg = np.where(ln_local >= 0, lpad[np.maximum(ln_local, 0)], -1)
             lmatched = ln_per_seg >= 0
             lvis_ids = lpad[ln_vis & (lpad >= 0)]
@@ -738,7 +949,26 @@ class Tracker:
             self.vomap.lines.n_found[lfound] += 1
             self.vomap.lines.last_seen_frame[lfound] = self.frame_id
             ln_per_seg = np.where(lmatched & ln_inlier, ln_per_seg, -1).astype(np.int32)
+            # LK-recovered observations keep the map line alive even though
+            # no detected segment matched it (reference: a recovered line
+            # counts as a tracked match, src/Tracking.cc:2299-2309).
+            rec_g = np.where(
+                (rec_rows >= 0) & rec_inlier,
+                lpad[np.maximum(rec_rows, 0)], -1,
+            )
+            rec_found = rec_g[rec_g >= 0]
+            self.vomap.lines.n_found[rec_found] += 1
+            self.vomap.lines.n_visible[rec_found] += 1
+            self.vomap.lines.last_seen_frame[rec_found] = self.frame_id
             self._last_line_out = (lf, l3d, ln_per_seg)
+            # Feed for the next frame's f2f + LK channel.
+            if gray is not None:
+                self._prev_line_feed = dict(
+                    gray=gray, fid=self.frame_id,
+                    p0=np.asarray(lf.p0), p1=np.asarray(lf.p1),
+                    desc=np.asarray(lf.desc), valid=np.asarray(lf.valid),
+                    gid=ln_per_seg.copy(),
+                )
 
         self._last_plane_out = None
         if plane_out is not None:
@@ -782,7 +1012,7 @@ class Tracker:
         3D-3D RANSAC (reference: TrackReferenceKeyFrame, src/Tracking.cc:1831
         uses SearchByBoW + pose optimization). Returns a pose estimate or
         None."""
-        k = self.vomap.next_kf_slot - 1
+        k = self.vomap.newest_kf_slot
         if k < 0:
             return None
         kf = self.vomap.keyframes
@@ -954,6 +1184,15 @@ class Tracker:
     def _create_keyframe(self, feats: FrameFeatures, pt_per_kp: np.ndarray):
         """Insert a keyframe; unmatched keypoints with depth become new map
         points (reference: Tracking::CreateNewKeyFrame, src/Tracking.cc:3032)."""
+        # Capacity pressure: the reference map is unbounded; the fixed tables
+        # here evict the least-covisible old keyframe when full so long
+        # sequences keep running (culling normally frees slots first).
+        if self.vomap.kf_capacity_left() == 0:
+            victim = self.vomap.weakest_kf()
+            if victim >= 0:
+                self._reanchor_trajectory([victim])
+                self.vomap.release_keyframe(victim)
+                self.kf_db.erase(victim)
         uv = np.asarray(feats.uv)
         depth = np.asarray(feats.depth)
         desc = np.asarray(feats.desc)
@@ -984,6 +1223,7 @@ class Tracker:
             ids = self.vomap.add_points(
                 X_w.astype(np.float32), desc[idx], normal.astype(np.float32),
                 octave[idx], self.frame_id,
+                angle=np.asarray(feats.angle)[idx],
             )
             pt_per_kp = pt_per_kp.copy()
             created = ids >= 0
@@ -997,7 +1237,7 @@ class Tracker:
         kf_slot = self.vomap.add_keyframe(
             self.T_cw, self.frame_id, pt_per_kp.astype(np.int32),
             obs, octave, desc, obs_valid,
-            axes_c=axes_c, axes_sup=axes_sup,
+            axes_c=axes_c, axes_sup=axes_sup, kp_valid=valid,
         )
         # Appearance index for relocalization (reference: KeyFrameDatabase::add).
         words = compute_words(feats.desc)
@@ -1022,7 +1262,7 @@ class Tracker:
                 X1w = (T_wc[:3, :3] @ X1c.T).T + T_wc[:3, 3]
                 lids = self.vomap.add_lines(
                     X0w.astype(np.float32), X1w.astype(np.float32),
-                    ldesc[lidx], self.frame_id,
+                    ldesc[lidx], self.frame_id, first_kf=kf_slot,
                 )
                 created = lids >= 0
                 ln_per_seg[lidx[created]] = lids[created]
@@ -1043,6 +1283,13 @@ class Tracker:
                 kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid
             )
             self.vomap.cull_lines(self.frame_id)
+            # Newly created map lines become inheritable by the next
+            # frame's f2f channel.
+            if (
+                self._prev_line_feed is not None
+                and self._prev_line_feed.get("fid") == self.frame_id
+            ):
+                self._prev_line_feed["gid"] = ln_per_seg.astype(np.int32).copy()
 
         # Fine Manhattan initialization: refine the world axes against the
         # accumulated map-line directions a few keyframes after the coarse
@@ -1101,7 +1348,7 @@ class Tracker:
                 )
                 pids = self.vomap.add_planes(
                     pi_w, c_w.astype(np.float32), counts[pidx], self.frame_id,
-                    cov_w=cov_w,
+                    cov_w=cov_w, first_kf=kf_slot,
                 )
                 created = pids >= 0
                 plane_id[pidx[created]] = pids[created]

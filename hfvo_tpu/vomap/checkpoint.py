@@ -44,9 +44,11 @@ def save_checkpoint(path: str, tracker) -> None:
             vm.next_point_slot, vm.next_kf_slot, vm.next_line_slot,
             tracker.frame_id, tracker.last_kf_frame, tracker.n_matches_ref_kf,
             int(tracker.manh_valid), int(tracker._manh_fine_done),
+            vm.kf_order_counter, vm.newest_kf_slot,
         ],
         dtype=np.int64,
     )
+    out["free_kf_slots"] = np.asarray(vm.free_kf_slots, dtype=np.int64)
     out["T_cw"] = tracker.T_cw
     out["velocity"] = tracker.velocity
     out["R_wm"] = tracker.R_wm
@@ -76,6 +78,15 @@ def load_checkpoint(path: str, tracker) -> None:
     tracker.n_matches_ref_kf = int(meta[5])
     tracker.manh_valid = bool(meta[6])
     tracker._manh_fine_done = bool(meta[7])
+    if len(meta) > 9:
+        vm.kf_order_counter = int(meta[8])
+        vm.newest_kf_slot = int(meta[9])
+    else:  # round-1 checkpoint: slot index was temporal order
+        vm.kf_order_counter = int(meta[1])
+        vm.newest_kf_slot = int(meta[1]) - 1
+        ks = np.nonzero(vm.keyframes.valid)[0]
+        vm.keyframes.order[ks] = ks
+    vm.free_kf_slots = [int(x) for x in data.get("free_kf_slots", [])]
     tracker.T_cw = data["T_cw"].copy()
     tracker.velocity = data["velocity"].copy()
     tracker.R_wm = data["R_wm"].copy()

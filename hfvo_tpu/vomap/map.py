@@ -27,6 +27,9 @@ class PointTable:
     desc: np.ndarray  # (N, 8) uint32 distinctive descriptor
     normal: np.ndarray  # (N, 3) mean viewing direction
     octave: np.ndarray  # (N,) int32 reference octave
+    angle: np.ndarray  # (N,) float32 IC angle of the creating keypoint —
+    # the reference side of the 30-bin rotation-consistency histogram
+    # (reference: ORBmatcher HISTO_LENGTH rotation check, src/ORBmatcher.cc:37)
     valid: np.ndarray  # (N,) bool
     n_obs: np.ndarray  # (N,) int32 keyframe observations
     n_visible: np.ndarray  # (N,) int32 times predicted visible in tracking
@@ -41,6 +44,7 @@ class PointTable:
             desc=np.zeros((n, 8), np.uint32),
             normal=np.zeros((n, 3), np.float32),
             octave=np.zeros((n,), np.int32),
+            angle=np.zeros((n,), np.float32),
             valid=np.zeros((n,), bool),
             n_obs=np.zeros((n,), np.int32),
             n_visible=np.zeros((n,), np.int32),
@@ -64,6 +68,9 @@ class LineTable:
     n_found: np.ndarray  # (N,) int32
     manh_idx: np.ndarray  # (N,) int32 Manhattan axis id (-1 = none)
     last_seen_frame: np.ndarray  # (N,) int32
+    first_kf: np.ndarray  # (N,) int32 owning keyframe (loop correction
+    # transforms the line with its reference KF, as the reference's
+    # CorrectLoop does for every landmark type, src/LoopClosing.cc:439-474)
 
     @staticmethod
     def empty(n: int, d: int) -> "LineTable":
@@ -77,6 +84,7 @@ class LineTable:
             n_found=np.zeros((n,), np.int32),
             manh_idx=np.full((n,), -1, np.int32),
             last_seen_frame=np.full((n,), -1, np.int32),
+            first_kf=np.full((n,), -1, np.int32),
         )
 
 
@@ -93,11 +101,19 @@ class KeyFrameTable:
     T_cw: np.ndarray  # (K, 4, 4)
     valid: np.ndarray  # (K,) bool
     frame_id: np.ndarray  # (K,) int32 source frame
+    order: np.ndarray  # (K,) int64 insertion sequence (-1 empty). Slots are
+    # recycled after culling (reference map is unbounded; here a free-list
+    # keeps the fixed tables from exhausting), so slot index is NOT temporal
+    # order — this field is.
     point_id: np.ndarray  # (K, C) int32
     obs: np.ndarray  # (K, C, 3) float32
     octave: np.ndarray  # (K, C) int32
     desc: np.ndarray  # (K, C, 8) uint32
     obs_valid: np.ndarray  # (K, C) bool
+    kp_valid: np.ndarray  # (K, C) bool — real detected keypoint (regardless
+    # of landmark association); epipolar triangulation candidates are
+    # kp_valid & (point_id < 0) (reference keeps all keypoints in the
+    # KeyFrame for CreateNewMapPoints, src/LocalMapping.cc:455)
     # Manhattan axis directions measured in this KF's camera frame (rows)
     # and their normal-support counts; 0 support disables the axis. Local
     # BA uses these as absolute per-KF rotation anchors.
@@ -110,11 +126,13 @@ class KeyFrameTable:
             T_cw=np.tile(np.eye(4, dtype=np.float32), (k, 1, 1)),
             valid=np.zeros((k,), bool),
             frame_id=np.full((k,), -1, np.int32),
+            order=np.full((k,), -1, np.int64),
             point_id=np.full((k, c), -1, np.int32),
             obs=np.zeros((k, c, 3), np.float32),
             octave=np.zeros((k, c), np.int32),
             desc=np.zeros((k, c, 8), np.uint32),
             obs_valid=np.zeros((k, c), bool),
+            kp_valid=np.zeros((k, c), bool),
             axes_c=np.zeros((k, 3, 3), np.float32),
             axes_sup=np.zeros((k, 3), np.int32),
         )
@@ -133,6 +151,7 @@ class PlaneTable:
     valid: np.ndarray  # (N,)
     n_obs: np.ndarray  # (N,)
     last_seen_frame: np.ndarray  # (N,)
+    first_kf: np.ndarray  # (N,) owning keyframe for loop correction
     # Running world-frame point moments over ALL observations — the TPU
     # equivalent of the reference's merged voxel cloud (MapPlane::
     # UpdateCoefficientsAndPoints, src/MapPlane.cc:300-372): coefficients
@@ -151,6 +170,7 @@ class PlaneTable:
             valid=np.zeros((n,), bool),
             n_obs=np.zeros((n,), np.int32),
             last_seen_frame=np.full((n,), -1, np.int32),
+            first_kf=np.full((n,), -1, np.int32),
             m_w=np.zeros((n,), np.float64),
             m_sum=np.zeros((n, 3), np.float64),
             m_outer=np.zeros((n, 3, 3), np.float64),
@@ -216,6 +236,13 @@ class VOMap:
         self.kf_planes = KeyFramePlaneTable.empty(cap.keyframes, cap.planes)
         self.next_line_slot = 0
         self.next_plane_slot = 0
+        # Keyframe slot free-list + insertion counter: culled slots are
+        # recycled so long sequences never exhaust the fixed table (the
+        # reference map is unbounded, src/Map.cc). `order` disambiguates
+        # temporal order once slots recycle.
+        self.free_kf_slots: list = []
+        self.kf_order_counter: int = 0
+        self.newest_kf_slot: int = -1
 
     # ---- keyframes -------------------------------------------------------
 
@@ -230,23 +257,42 @@ class VOMap:
         obs_valid: np.ndarray,
         axes_c: np.ndarray | None = None,
         axes_sup: np.ndarray | None = None,
+        kp_valid: np.ndarray | None = None,
     ) -> int:
-        k = self.next_kf_slot
-        if k >= self.keyframes.T_cw.shape[0]:
-            raise RuntimeError("keyframe capacity exhausted")
+        if self.free_kf_slots:
+            k = self.free_kf_slots.pop(0)
+        else:
+            k = self.next_kf_slot
+            if k >= self.keyframes.T_cw.shape[0]:
+                raise RuntimeError(
+                    "keyframe capacity exhausted and no culled slots to "
+                    "recycle — raise cfg.cap.keyframes"
+                )
+            self.next_kf_slot += 1
         kf = self.keyframes
         kf.T_cw[k] = T_cw
         kf.valid[k] = True
         kf.frame_id[k] = frame_id
+        kf.order[k] = self.kf_order_counter
+        self.kf_order_counter += 1
+        self.newest_kf_slot = k
         kf.point_id[k] = point_id
         kf.obs[k] = obs
         kf.octave[k] = octave
         kf.desc[k] = desc
         kf.obs_valid[k] = obs_valid
+        kf.kp_valid[k] = obs_valid if kp_valid is None else kp_valid
         if axes_c is not None:
             kf.axes_c[k] = axes_c
             kf.axes_sup[k] = axes_sup
-        self.next_kf_slot += 1
+        else:
+            kf.axes_c[k] = 0.0
+            kf.axes_sup[k] = 0
+        # Recycled slots must not inherit stale per-KF observations.
+        self.kf_lines.line_id[k] = -1
+        self.kf_lines.obs_valid[k] = False
+        self.kf_planes.plane_id[k] = -1
+        self.kf_planes.obs_valid[k] = False
         # Update observation counts.
         pids = point_id[obs_valid & (point_id >= 0)]
         np.add.at(self.points.n_obs, pids, 1)
@@ -254,8 +300,110 @@ class VOMap:
         self.points.first_kf[pids[first]] = k
         return k
 
+    def release_keyframe(self, k: int) -> None:
+        """Invalidate a culled keyframe and recycle its slot. Landmarks owned
+        by it (first_kf) are re-owned to the nearest earlier surviving KF so
+        loop correction keeps a valid reference (the reference re-parents
+        along the spanning tree, src/KeyFrame.cc SetBadFlag)."""
+        kf = self.keyframes
+        pid = kf.point_id[k]
+        ov = kf.obs_valid[k] & (pid >= 0)
+        np.add.at(self.points.n_obs, pid[ov], -1)
+        lid = self.kf_lines.line_id[k]
+        lov = self.kf_lines.obs_valid[k] & (lid >= 0)
+        np.add.at(self.lines.n_obs, lid[lov], -1)
+        plid = self.kf_planes.plane_id[k]
+        pov = self.kf_planes.obs_valid[k] & (plid >= 0)
+        np.add.at(self.planes.n_obs, plid[pov], -1)
+        kf.valid[k] = False
+        kf.obs_valid[k] = False
+        kf.kp_valid[k] = False
+        kf.point_id[k] = -1
+        self.kf_lines.obs_valid[k] = False
+        self.kf_lines.line_id[k] = -1
+        self.kf_planes.obs_valid[k] = False
+        self.kf_planes.plane_id[k] = -1
+        # Re-own landmarks to the closest surviving KF by insertion order.
+        slots = self.kf_slots_by_order()
+        if len(slots):
+            dist = np.abs(kf.order[slots] - kf.order[k])
+            parent = int(slots[np.argmin(dist)])
+            for tab in (self.points, self.lines, self.planes):
+                tab.first_kf[tab.first_kf == k] = parent
+        kf.order[k] = -1
+        self.free_kf_slots.append(int(k))
+
+    def kf_capacity_left(self) -> int:
+        return (
+            self.keyframes.T_cw.shape[0] - self.next_kf_slot
+            + len(self.free_kf_slots)
+        )
+
+    def weakest_kf(self, exclude_recent: int = 5) -> int:
+        """The valid keyframe least covisible with the newest one (ties:
+        oldest), excluding the `exclude_recent` newest. Used as the eviction
+        victim under capacity pressure — a bounded-memory policy the
+        unbounded reference never needs, chosen to drop the KF whose loss
+        least affects the active local map. Returns -1 if none."""
+        order = self.kf_slots_by_order()
+        if len(order) <= exclude_recent + 1:
+            return -1
+        candidates = order[:-exclude_recent]
+        slots, w = self.covisibility(self.newest_kf_slot)
+        w_of = np.zeros((self.keyframes.valid.shape[0],), np.int64)
+        w_of[slots] = w
+        # Minimize (weight, order): np.lexsort-free via stable argsort.
+        key = w_of[candidates] * 10**9 + self.keyframes.order[candidates]
+        return int(candidates[np.argmin(key)])
+
+    def kf_slots_by_order(self) -> np.ndarray:
+        """Valid keyframe slots sorted oldest -> newest by insertion order."""
+        kf = self.keyframes
+        slots = np.nonzero(kf.valid)[0]
+        return slots[np.argsort(kf.order[slots], kind="stable")]
+
     def n_keyframes(self) -> int:
         return int(self.keyframes.valid.sum())
+
+    # ---- covisibility ----------------------------------------------------
+
+    def covisibility(self, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """Co-observation weights of keyframe `k` against every other valid
+        keyframe (reference: KeyFrame::UpdateConnections counts shared
+        MapPoints per KF pair, src/KeyFrame.cc / KeyFrame.h:135-158).
+
+        Returns (slots (M,), weights (M,)) for other valid KFs, unsorted.
+        One boolean-membership matvec over the flat observation tables —
+        no pairwise KF loop.
+        """
+        kf = self.keyframes
+        pid = kf.point_id[k]
+        ov = kf.obs_valid[k] & (pid >= 0)
+        flag = np.zeros((self.points.valid.shape[0],), bool)
+        flag[pid[ov]] = True
+        others = np.nonzero(kf.valid)[0]
+        others = others[others != k]
+        opid = kf.point_id[others]
+        shared = kf.obs_valid[others] & (opid >= 0) & flag[np.maximum(opid, 0)]
+        return others, shared.sum(axis=1).astype(np.int64)
+
+    def covisible_kfs(self, k: int, min_weight: int = 15, cap: int = 0) -> np.ndarray:
+        """Covisible neighbors of KF `k`, best-connected first (reference:
+        GetVectorCovisibleKeyFrames / GetBestCovisibilityKeyFrames,
+        include/KeyFrame.h:141-143). Falls back to the single best-connected
+        KF when none clears `min_weight` (reference keeps at least the best
+        edge, KeyFrame::UpdateConnections)."""
+        slots, w = self.covisibility(k)
+        if len(slots) == 0:
+            return slots
+        keep = w >= min_weight
+        if not keep.any():
+            keep = w == w.max()
+            keep &= w > 0
+        slots, w = slots[keep], w[keep]
+        order = np.argsort(-w, kind="stable")
+        slots = slots[order]
+        return slots[:cap] if cap else slots
 
     # ---- points ----------------------------------------------------------
 
@@ -266,6 +414,7 @@ class VOMap:
         normal: np.ndarray,
         octave: np.ndarray,
         frame_id: int,
+        angle: np.ndarray | None = None,
     ) -> np.ndarray:
         """Append new map points; returns their slot ids (-1 where dropped)."""
         n = len(X_w)
@@ -279,6 +428,8 @@ class VOMap:
         p.desc[slots] = desc[:take]
         p.normal[slots] = normal[:take]
         p.octave[slots] = octave[:take]
+        if angle is not None:
+            p.angle[slots] = angle[:take]
         p.valid[slots] = True
         p.n_obs[slots] = 0
         p.n_visible[slots] = 1
@@ -292,7 +443,8 @@ class VOMap:
     # ---- lines -----------------------------------------------------------
 
     def add_lines(
-        self, X0_w: np.ndarray, X1_w: np.ndarray, desc: np.ndarray, frame_id: int
+        self, X0_w: np.ndarray, X1_w: np.ndarray, desc: np.ndarray, frame_id: int,
+        first_kf: int = -1,
     ) -> np.ndarray:
         """Append new map lines; returns slot ids (-1 where dropped)."""
         n = len(X0_w)
@@ -311,6 +463,7 @@ class VOMap:
         t.n_found[slots] = 1
         t.manh_idx[slots] = -1
         t.last_seen_frame[slots] = frame_id
+        t.first_kf[slots] = first_kf
         if take:
             self.next_line_slot = int(slots[-1]) + 1
         return ids
@@ -334,14 +487,30 @@ class VOMap:
         t.valid[bad] = False
         return int(bad.sum())
 
+    def local_kf_window(self, n_kfs: int) -> np.ndarray:
+        """The tracking local-keyframe set: the newest KF plus its
+        best-connected covisible neighbors (reference:
+        Tracking::UpdateLocalKeyFrames, src/Tracking.cc:3652 — KFs sharing
+        map points with the current frame, ranked by shared count)."""
+        if self.newest_kf_slot < 0 or not self.keyframes.valid[self.newest_kf_slot]:
+            return self.kf_slots_by_order()[-n_kfs:]
+        k = self.newest_kf_slot
+        neigh = self.covisible_kfs(k, min_weight=1, cap=max(n_kfs - 1, 0))
+        return np.concatenate([[k], neigh]).astype(np.int64)
+
     def local_line_ids(self, n_recent_kfs: int, cap: int) -> np.ndarray:
         kl = self.kf_lines
-        ks = np.nonzero(self.keyframes.valid)[0][-n_recent_kfs:]
+        ks = self.local_kf_window(n_recent_kfs)
         lid = kl.line_id[ks]
         ok = kl.obs_valid[ks] & (lid >= 0)
         ids = np.unique(lid[ok])
         ids = ids[self.lines.valid[ids]]
-        return ids[-cap:]
+        if len(ids) > cap:
+            # Keep the best-observed lines, not an arbitrary slot suffix.
+            rank = self.lines.n_obs[ids] * 1000 + self.lines.n_found[ids]
+            ids = ids[np.argsort(-rank, kind="stable")[:cap]]
+            ids.sort()
+        return ids
 
     # ---- planes ----------------------------------------------------------
 
@@ -352,6 +521,7 @@ class VOMap:
         count: np.ndarray,
         frame_id: int,
         cov_w: np.ndarray | None = None,
+        first_kf: int = -1,
     ) -> np.ndarray:
         n = len(pi_w)
         free = np.nonzero(~self.planes.valid)[0]
@@ -366,6 +536,7 @@ class VOMap:
         t.valid[slots] = True
         t.n_obs[slots] = 0
         t.last_seen_frame[slots] = frame_id
+        t.first_kf[slots] = first_kf
         # Seed the running moments from the first observation.
         w = count[:take].astype(np.float64)
         mu = centroid_w[:take].astype(np.float64)
@@ -404,20 +575,26 @@ class VOMap:
             w[:, None, None]
             * (cov_w.astype(np.float64) + mu[:, :, None] * mu[:, None, :]),
         )
-        for i in np.unique(plane_id):
-            W = t.m_w[i]
-            if W < 1.0:
-                continue
-            mean = t.m_sum[i] / W
-            C = t.m_outer[i] / W - np.outer(mean, mean)
-            evals, evecs = np.linalg.eigh(C + 1e-12 * np.eye(3))
-            n = evecs[:, 0]
-            if n @ t.pi_w[i, :3] < 0:  # keep orientation continuity
-                n = -n
-            t.pi_w[i, :3] = n.astype(np.float32)
-            t.pi_w[i, 3] = np.float32(-n @ mean)
-            t.centroid_w[i] = mean.astype(np.float32)
-            t.count[i] = np.float32(W)
+        self._refit_planes(np.unique(plane_id))
+
+    def _refit_planes(self, ids: np.ndarray) -> None:
+        """Batched coefficient refit from accumulated moments (one np.eigh
+        over all touched planes — no per-plane Python loop)."""
+        t = self.planes
+        ids = ids[t.m_w[ids] >= 1.0]
+        if len(ids) == 0:
+            return
+        W = t.m_w[ids]
+        mean = t.m_sum[ids] / W[:, None]
+        C = t.m_outer[ids] / W[:, None, None] - mean[:, :, None] * mean[:, None, :]
+        _, evecs = np.linalg.eigh(C + 1e-12 * np.eye(3)[None])
+        n = evecs[:, :, 0]
+        flip = np.sum(n * t.pi_w[ids, :3], axis=1) < 0  # orientation continuity
+        n[flip] = -n[flip]
+        t.pi_w[ids, :3] = n.astype(np.float32)
+        t.pi_w[ids, 3] = (-np.sum(n * mean, axis=1)).astype(np.float32)
+        t.centroid_w[ids] = mean.astype(np.float32)
+        t.count[ids] = W.astype(np.float32)
 
     def add_kf_plane_obs(
         self, kf_slot: int, plane_id: np.ndarray, pi_obs: np.ndarray, obs_valid: np.ndarray
@@ -431,41 +608,52 @@ class VOMap:
 
     def merge_planes(self, ang_th: float = 0.985, dist_th: float = 0.10) -> int:
         """Merge coplanar map planes (reference: MapPlaneCulling merge by
-        angle + distance then Replace, src/LocalMapping.cc:2004)."""
+        angle + distance then Replace, src/LocalMapping.cc:2004).
+
+        Vectorized: one pairwise angle/distance adjacency matrix, connected
+        components by boolean matrix squaring, then an exact moments merge
+        (moments are additive) and one batched refit — no O(P^2) Python loop.
+        """
         t = self.planes
         ids = np.nonzero(t.valid)[0]
-        merged = 0
-        for i_pos, i in enumerate(ids):
-            if not t.valid[i]:
-                continue
-            for j in ids[i_pos + 1 :]:
-                if not t.valid[j]:
-                    continue
-                dot = abs(t.pi_w[i, :3] @ t.pi_w[j, :3])
-                d = abs(t.pi_w[i, :3] @ t.centroid_w[j] + t.pi_w[i, 3])
-                if dot > ang_th and d < dist_th:
-                    # Merge j's accumulated moments into i and refit
-                    # (moments are additive, so the merge is exact).
-                    t.m_w[i] += t.m_w[j]
-                    t.m_sum[i] += t.m_sum[j]
-                    t.m_outer[i] += t.m_outer[j]
-                    W = max(t.m_w[i], 1.0)
-                    mean = t.m_sum[i] / W
-                    C = t.m_outer[i] / W - np.outer(mean, mean)
-                    _, evecs = np.linalg.eigh(C + 1e-12 * np.eye(3))
-                    n = evecs[:, 0]
-                    if n @ t.pi_w[i, :3] < 0:
-                        n = -n
-                    t.pi_w[i, :3] = n.astype(np.float32)
-                    t.pi_w[i, 3] = np.float32(-n @ mean)
-                    t.centroid_w[i] = mean.astype(np.float32)
-                    t.count[i] = np.float32(W)
-                    t.n_obs[i] += t.n_obs[j]
-                    t.valid[j] = False
-                    # Re-point keyframe observations at the survivor.
-                    sel = self.kf_planes.plane_id == j
-                    self.kf_planes.plane_id[sel] = i
-                    merged += 1
+        n = len(ids)
+        if n < 2:
+            return 0
+        normals = t.pi_w[ids, :3]
+        dot = np.abs(normals @ normals.T)
+        # d_ij = distance of centroid i to plane j (the reference tests the
+        # candidate cloud against the landmark plane; symmetrize with OR).
+        d_ij = np.abs(t.centroid_w[ids] @ normals.T + t.pi_w[ids, 3][None, :])
+        adj = (dot > ang_th) & ((d_ij < dist_th) | (d_ij.T < dist_th))
+        np.fill_diagonal(adj, True)
+        if not (adj.sum() > n):
+            return 0
+        # Transitive closure by log-many boolean matrix squarings (P <= 256).
+        reach = adj
+        for _ in range(int(np.ceil(np.log2(n))) + 1):
+            nxt = reach | (reach @ reach)
+            if (nxt == reach).all():
+                break
+            reach = nxt
+        root_pos = np.argmax(reach, axis=1)  # first reachable = min member
+        is_root = root_pos == np.arange(n)
+        merged_mask = ~is_root
+        merged = int(merged_mask.sum())
+        if merged == 0:
+            return 0
+        src, dst = ids[merged_mask], ids[root_pos[merged_mask]]
+        np.add.at(t.m_w, dst, t.m_w[src])
+        np.add.at(t.m_sum, dst, t.m_sum[src])
+        np.add.at(t.m_outer, dst, t.m_outer[src])
+        np.add.at(t.n_obs, dst, t.n_obs[src])
+        t.valid[src] = False
+        # Re-point keyframe observations at the survivors.
+        lut = np.arange(t.valid.shape[0], dtype=np.int64)
+        lut[src] = dst
+        pid = self.kf_planes.plane_id
+        mask = pid >= 0
+        pid[mask] = lut[pid[mask]]
+        self._refit_planes(np.unique(dst))
         return merged
 
     def cull_points(self, current_frame: int) -> int:
@@ -480,13 +668,18 @@ class VOMap:
         return int(bad.sum())
 
     def local_point_ids(self, n_recent_kfs: int, cap: int) -> np.ndarray:
-        """Point slots observed by the most recent keyframes (the reference's
-        covisibility-driven local map, src/Tracking.cc:3394 UpdateLocalMap,
-        approximated by KF recency in round 1)."""
+        """Point slots observed by the covisible local-keyframe window
+        (reference: Tracking::UpdateLocalPoints over UpdateLocalKeyFrames'
+        set, src/Tracking.cc:3394,3652). Over capacity, the best-observed
+        points survive — not an arbitrary slot suffix."""
         kf = self.keyframes
-        ks = np.nonzero(kf.valid)[0][-n_recent_kfs:]
+        ks = self.local_kf_window(n_recent_kfs)
         pid = kf.point_id[ks]
         ok = kf.obs_valid[ks] & (pid >= 0)
         ids = np.unique(pid[ok])
         ids = ids[self.points.valid[ids]]
-        return ids[-cap:]
+        if len(ids) > cap:
+            rank = self.points.n_obs[ids] * 1000 + self.points.n_found[ids]
+            ids = ids[np.argsort(-rank, kind="stable")[:cap]]
+            ids.sort()
+        return ids

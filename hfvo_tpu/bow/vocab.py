@@ -72,6 +72,15 @@ def bow_histogram(words: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     return h / jnp.maximum(jnp.sum(h), 1.0)
 
 
+def bow_histogram_np(words: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """Host-side `bow_histogram` (the keyframe path already holds pulled
+    word ids; a device round trip just for a bincount would cost an RTT)."""
+    h = np.bincount(
+        np.asarray(words)[np.asarray(valid)], minlength=N_WORDS
+    ).astype(np.float32)
+    return h / max(h.sum(), 1.0)
+
+
 def l1_score(h1: jnp.ndarray, h2: jnp.ndarray) -> jnp.ndarray:
     """DBoW2 L1 similarity in [0, 1]: 1 - 0.5 * |h1 - h2|_1
     (reference: DBoW2/ScoringObject.cpp L1Scoring)."""

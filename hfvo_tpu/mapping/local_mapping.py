@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -325,7 +326,7 @@ class LocalMapper:
         neigh = vm.covisible_kfs(newest, min_weight=10, cap=max_neighbors)
         if len(neigh) == 0:
             return 0
-        from ..ops.triangulate import triangulate_pair
+        from ..ops.triangulate import triangulate_multi
 
         cand_a = kf.kp_valid[newest] & (kf.point_id[newest] < 0)
         uv_a = kf.obs[newest, :, :2]
@@ -335,39 +336,57 @@ class LocalMapper:
         # no parallax beyond what depth already gave (reference skips
         # baseline < mb, src/LocalMapping.cc:398-410).
         min_baseline = cam.bf / cam.fx
-        created = 0
+        # Stack ALL usable neighbors into one fixed-shape batch — a single
+        # device program + single result pull for the whole keyframe
+        # (the reference's per-neighbor loop would cost a round trip each).
+        Nn = max_neighbors
+        C = uv_a.shape[0]
+        uv_b = np.zeros((Nn, C, 2), np.float32)
+        desc_b = np.zeros((Nn,) + kf.desc[newest].shape, kf.desc.dtype)
+        cand_b = np.zeros((Nn, C), bool)
+        oct_b = np.zeros((Nn, C), np.int32)
+        T_ab = np.tile(np.eye(4, dtype=np.float32), (Nn, 1, 1))
+        used = []
         for nb in neigh:
-            if not cand_a.any():
-                break
             T_b = kf.T_cw[nb]
             C_b = -T_b[:3, :3].T @ T_b[:3, 3]
             if np.linalg.norm(C_a - C_b) < min_baseline:
                 continue
-            cand_b = kf.kp_valid[nb] & (kf.point_id[nb] < 0)
-            if not cand_b.any():
+            cb = kf.kp_valid[nb] & (kf.point_id[nb] < 0)
+            if not cb.any():
                 continue
-            T_ab = (T_a @ np.linalg.inv(T_b)).astype(np.float32)
-            res = triangulate_pair(
-                cam,
-                jnp.asarray(uv_a.astype(np.float32)),
-                jnp.asarray(kf.desc[newest]),
-                jnp.asarray(cand_a),
-                jnp.asarray(kf.octave[newest]),
-                jnp.asarray(kf.obs[nb, :, :2].astype(np.float32)),
-                jnp.asarray(kf.desc[nb]),
-                jnp.asarray(cand_b),
-                jnp.asarray(kf.octave[nb]),
-                jnp.asarray(T_ab),
-                scale_factor=self.cfg.orb.scale_factor,
-            )
-            ok = np.asarray(res.ok)
-            ia = np.nonzero(ok)[0]
+            j = len(used)
+            if j >= Nn:
+                break
+            uv_b[j] = kf.obs[nb, :, :2]
+            desc_b[j] = kf.desc[nb]
+            cand_b[j] = cb
+            oct_b[j] = kf.octave[nb]
+            T_ab[j] = (T_a @ np.linalg.inv(T_b)).astype(np.float32)
+            used.append(int(nb))
+        if not used:
+            return 0
+        res = triangulate_multi(
+            cam,
+            jnp.asarray(uv_a.astype(np.float32)),
+            jnp.asarray(kf.desc[newest]),
+            jnp.asarray(cand_a),
+            jnp.asarray(kf.octave[newest]),
+            jnp.asarray(uv_b), jnp.asarray(desc_b), jnp.asarray(cand_b),
+            jnp.asarray(oct_b), jnp.asarray(T_ab),
+            scale_factor=self.cfg.orb.scale_factor,
+        )
+        ok_all, match_all, X_all = jax.device_get(
+            (res.ok, res.match_b, res.X_a)
+        )
+        T_wa = np.linalg.inv(T_a)
+        created = 0
+        for j, nb in enumerate(used):
+            ia = np.nonzero(ok_all[j] & cand_a)[0]
             if len(ia) == 0:
                 continue
-            ib = np.asarray(res.match_b)[ia]
-            X_a = np.asarray(res.X_a)[ia]
-            T_wa = np.linalg.inv(T_a)
-            X_w = (T_wa[:3, :3] @ X_a.T).T + T_wa[:3, 3]
+            ib = match_all[j][ia]
+            X_w = (T_wa[:3, :3] @ X_all[j][ia].T).T + T_wa[:3, 3]
             normal = X_w - C_a[None, :]
             normal /= np.linalg.norm(normal, axis=1, keepdims=True) + 1e-9
             ids = vm.add_points(

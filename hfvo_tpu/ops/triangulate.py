@@ -156,3 +156,31 @@ def triangulate_pair(
         & jnp.isfinite(X_a).all(axis=1)
     )
     return TriangulationResult(X_a, jnp.where(ok, b_of_a, -1), ok)
+
+
+@partial(jax.jit, static_argnames=("intr", "max_hamming", "scale_factor"))
+def triangulate_multi(
+    intr,
+    uv_a: jnp.ndarray,
+    desc_a: jnp.ndarray,
+    cand_a: jnp.ndarray,
+    oct_a: jnp.ndarray,
+    uv_b: jnp.ndarray,  # (Nn, C, 2) stacked neighbor keyframes
+    desc_b: jnp.ndarray,  # (Nn, C, 8)
+    cand_b: jnp.ndarray,  # (Nn, C) — all-False rows are padding neighbors
+    oct_b: jnp.ndarray,  # (Nn, C)
+    T_ab: jnp.ndarray,  # (Nn, 4, 4)
+    scale_factor: float = 1.2,
+    max_hamming: int = 50,
+) -> TriangulationResult:
+    """All neighbor keyframes in ONE device program (the per-neighbor loop
+    of the reference, src/LocalMapping.cc:390, costs a dispatch + result
+    round trip each over RTT-bound transports). Results are stacked (Nn, C);
+    the host registers matches in neighbor order."""
+    fn = jax.vmap(
+        lambda ub, db, cb, ob, T: triangulate_pair(
+            intr, uv_a, desc_a, cand_a, oct_a, ub, db, cb, ob, T,
+            scale_factor=scale_factor, max_hamming=max_hamming,
+        )
+    )
+    return fn(uv_b, desc_b, cand_b, oct_b, T_ab)

@@ -105,3 +105,141 @@ class BatchTracker:
 
     def get_trajectories(self) -> List[np.ndarray]:
         return [tr.get_trajectory() for tr in self.trackers]
+
+    # ---- pipelined (one-batch-lag) batch tracking ---------------------
+
+    def _stacked_snapshot(self):
+        """Batched device snapshot: per-tracker device snapshots (cached,
+        re-uploaded only on map change) stacked along a leading S axis. The
+        stack itself is cached and rebuilt only when some tracker's snapshot
+        object changed, so the steady-state per-frame cost is zero device
+        ops."""
+        import jax.numpy as _jnp
+
+        snaps = [tr._local_map_snapshot() for tr in self.trackers]
+        key = tuple(id(s) for s in snaps)
+        if getattr(self, "_snap_key", None) != key:
+            cols = list(zip(*[s[:-2] for s in snaps]))
+            self._snap_stack = tuple(_jnp.stack(c) for c in cols)
+            self._snap_key = key
+        return self._snap_stack, [s[-2:] for s in snaps]
+
+    def track_batch_async(
+        self,
+        grays: Sequence[np.ndarray],
+        depths: Sequence[np.ndarray],
+    ) -> List[TrackResult]:
+        """One-batch-lag pipelined batch tracking (the S-sequence analog of
+        `Tracker.track_rgbd_async`): dispatch this frame's vmapped fused
+        step chained on the still-in-flight previous batch poses, then
+        resolve the PREVIOUS batch — host bookkeeping for S trackers
+        overlaps the in-flight device compute and both tunnel transfers.
+        Returns the TrackResults that became final during this call
+        (empty on the first call); call `flush()` at sequence end."""
+        if any(tr.state is not TrackState.OK for tr in self.trackers):
+            out = list(self.flush())
+            out.extend(r for r in self.track_batch(grays, depths) if r is not None)
+            return out
+
+        S = self.n_seq
+        gray_h = [
+            np.clip(np.asarray(g), 0, 255).astype(np.uint8) for g in grays
+        ]
+        depth_h = [
+            np.clip(np.asarray(d) * 1000.0, 0, 65535).astype(np.uint16)
+            for d in depths
+        ]
+        pend = getattr(self, "_pending", None)
+        host_cols: List[list] = None  # type: ignore[assignment]
+        fids, pads = [], []
+        for s, tr in enumerate(self.trackers):
+            tr.frame_id += 1
+            fids.append(tr.frame_id)
+            if pend is None:
+                T_pred = (tr.velocity @ tr.T_cw).astype(np.float32)
+                T_pred_b = None
+            else:
+                # Constant velocity chained on the in-flight batched pose
+                # inside the program (T_pred_a @ T_pred_b @ T_pred_a):
+                # positions 15/17 are substituted with the device array
+                # below; the host placeholder here is ignored.
+                T_pred = tr.T_cw
+                T_pred_b = np.linalg.inv(tr.T_cw).astype(np.float32)
+            a = tr.prepare_step_args_host(
+                gray_h[s], depth_h[s], T_pred, T_pred_b=T_pred_b
+            )
+            pads.append(tr._pads)
+            if host_cols is None:
+                host_cols = [[] for _ in a]
+            for j, leaf in enumerate(a):
+                host_cols[j].append(leaf)
+
+        # Assemble the 24 batched leaves. Snapshot positions 2..12 come from
+        # the cached stacked device snapshot; pose positions 15/17 and the
+        # previous image 18 reuse in-flight device arrays when available.
+        snap_stack, _snap_pads = self._stacked_snapshot()
+        gray_dev = jnp.asarray(np.stack(host_cols[0]))
+        leaves: list = [None] * 24
+        leaves[0] = gray_dev
+        leaves[1] = jnp.asarray(np.stack(host_cols[1]))
+        for j in range(11):
+            leaves[2 + j] = snap_stack[j]
+        for j in (13, 14, 16, 19, 20, 21, 22, 23):
+            leaves[j] = jnp.asarray(np.stack(host_cols[j]))
+        if pend is None:
+            leaves[15] = jnp.asarray(np.stack(host_cols[15]))
+            leaves[17] = jnp.asarray(np.stack(host_cols[17]))
+            leaves[18] = jnp.asarray(np.stack(host_cols[18]))
+        else:
+            in_flight_T = pend["out"][0]  # (S, 4, 4) device
+            leaves[15] = in_flight_T
+            leaves[17] = in_flight_T
+            leaves[18] = pend["gray_dev"]
+
+        out_dev = self._vstep(*leaves)
+        prev = pend
+        self._pending = dict(
+            out=out_dev, gray_dev=gray_dev, fids=fids, pads=pads,
+            gray_h=gray_h, depth_h=depth_h, poisoned=set(),
+        )
+        if prev is None:
+            return []
+        for leaf in jax.tree.leaves(prev["out"]):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return self._resolve_batch(prev)
+
+    def flush(self) -> List[TrackResult]:
+        prev = getattr(self, "_pending", None)
+        if prev is None:
+            return []
+        self._pending = None
+        return self._resolve_batch(prev)
+
+    def _resolve_batch(self, p) -> List[TrackResult]:
+        outs = jax.device_get(p["out"])
+        results: List[TrackResult] = []
+        poisoned_next = []
+        for s, tr in enumerate(self.trackers):
+            saved_fid = tr.frame_id
+            tr.frame_id = p["fids"][s]
+            try:
+                if s in p["poisoned"]:
+                    # This row's dispatch chained on a pose that turned out
+                    # wrong; re-track synchronously from the corrected state.
+                    res = tr._track_prepared(
+                        jnp.asarray(p["gray_h"][s]), jnp.asarray(p["depth_h"][s])
+                    )
+                else:
+                    tr._pads = p["pads"][s]
+                    out_s = jax.tree.map(lambda a: a[s], outs)
+                    five = tr.finish_step(out_s, gray=p["gray_h"][s])
+                    res = tr._post_track(five, p["gray_h"][s], p["depth_h"][s])
+            finally:
+                tr.frame_id = saved_fid
+            if res.state is not TrackState.OK or tr._used_fallback:
+                poisoned_next.append(s)
+            results.append(res)
+        if getattr(self, "_pending", None) is not None:
+            self._pending["poisoned"].update(poisoned_next)
+        return results

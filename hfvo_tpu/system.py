@@ -165,4 +165,10 @@ class VOSystem:
                 f.write(f"{p[0]:.5f} {p[1]:.5f} {p[2]:.5f}\n")
 
     def extract_times(self) -> str:
-        return self.times.report()
+        """Timing report (reference: System::ExtractTimes, src/System.cc:406
+        prints mean feature-extract / line-opt / pose-estimation / local-BA
+        times; the fused design reports the fused device step plus every
+        keyframe-path sub-stage from the tracker's stage timers)."""
+        rep = self.times.report()
+        stages = self.tracker.stage_report()
+        return rep + ("\n" + stages if stages else "")

@@ -12,6 +12,7 @@ Round-1 scope: point features. Line/plane/Manhattan tracking layers on top
 from __future__ import annotations
 
 import enum
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Optional
@@ -21,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bow.database import KeyFrameDatabase
-from ..bow.vocab import bow_histogram, compute_words
+from ..bow.vocab import bow_histogram, bow_histogram_np, compute_words
 from ..config import VOConfig
 from ..geometry import camera as camera_ops
 from ..geometry import se3
@@ -147,6 +148,11 @@ def fused_track_step(
         w_axis = jnp.where(ax_anchor_ok, w_sat, 0.0)
 
     feats = extract_frame(gray, depth, cfg)
+    # BoW word ids ride along in the fused program (reference computes BoW
+    # on keyframe insertion, src/LocalMapping.cc:185; computing them here is
+    # ~free on-device and saves the keyframe path a separate dispatch+pull
+    # round trip over RTT-bound transports).
+    words = compute_words(feats.desc)
     L = map_X.shape[0]
     res = matcher.search_by_projection(
         map_X, map_desc, map_valid,
@@ -438,7 +444,7 @@ def fused_track_step(
         manh_out = (axes_c_lm, sup_m)
     return (
         opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats,
-        line_out, plane_out, manh_out,
+        line_out, plane_out, manh_out, words,
     )
 
 
@@ -470,11 +476,19 @@ class Tracker:
         self.T_cw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
         self._snap = None
+        self._snap_host = None
         self._last_line_out = None
         self._prev_line_feed = None  # last resolved frame's segments + gray
         self._last_plane_out = None
         self._last_axes = None
+        self._last_words = None  # (frame_id, word ids) from the fused step
         self._last_n_matches = 0
+        # Per-stage accumulated wall times (reference: System::ExtractTimes,
+        # src/System.cc:406-425 reports mean feature-extraction / line-opt /
+        # pose-estimation / local-BA times; the fused design folds the first
+        # three into one device program, so the split here is fused-step
+        # dispatch+pull vs the keyframe-path sub-stages).
+        self.stage_times: dict = {}
         self._pending = None  # in-flight pipelined frame (track_rgbd_async)
         self._used_fallback = False
         self._pads = (None, None)
@@ -493,6 +507,25 @@ class Tracker:
         # each frame stores its pose relative to a reference keyframe so that
         # later BA corrections propagate to the whole trajectory).
         self._traj_rel: list = []
+
+    def _stage(self, name: str, dt: float) -> None:
+        acc = self.stage_times.get(name)
+        if acc is None:
+            self.stage_times[name] = [dt, 1]
+        else:
+            acc[0] += dt
+            acc[1] += 1
+
+    def stage_report(self) -> str:
+        """Per-stage mean times (reference: System::ExtractTimes,
+        src/System.cc:406-425)."""
+        rows = []
+        for k in sorted(self.stage_times):
+            s, n = self.stage_times[k]
+            rows.append(
+                f"mean {k} time: {s / max(n, 1) * 1000:.2f} ms over {n} calls"
+            )
+        return "\n".join(rows)
 
     # ------------------------------------------------------------------
 
@@ -566,7 +599,9 @@ class Tracker:
             if self._need_new_keyframe(n_matches, feats, pt_per_kp):
                 if self.cfg.use_manhattan and not self.manh_valid:
                     self._try_coarse_manhattan(depth)
+                t0 = time.perf_counter()
                 self._create_keyframe(feats, pt_per_kp)
+                self._stage("kf_insert", time.perf_counter() - t0)
                 # Reference ratio rule compares against the reference KF's
                 # *tracked* matches (mnMatchesInliers vs nRefMatches,
                 # src/Tracking.cc:2966-2985), not the total observation
@@ -578,22 +613,32 @@ class Tracker:
                 # landmark (reference order: CreateNewMapPoints runs before
                 # fuse + BA, src/LocalMapping.cc:82-122).
                 if self.cfg.tracking.triangulate_new_points:
+                    t0 = time.perf_counter()
                     self.mapper.create_new_map_points()
+                    self._stage("kf_triangulate", time.perf_counter() - t0)
+                t0 = time.perf_counter()
                 self.mapper.fuse_points()
+                self._stage("kf_fuse", time.perf_counter() - t0)
                 if self.use_local_ba:
+                    t0 = time.perf_counter()
                     self.mapper.run_local_ba()
+                    self._stage("local_ba", time.perf_counter() - t0)
                     # BA may have moved the newest KF (= this frame's pose).
                     self.T_cw = self.vomap.keyframes.T_cw[
                         self.vomap.newest_kf_slot
                     ].copy()
+                t0 = time.perf_counter()
                 if self.use_loop_closing and self.loop_closer.detect_and_close(self):
                     self.T_cw = self.vomap.keyframes.T_cw[
                         self.vomap.newest_kf_slot
                     ].copy()
+                self._stage("loop_detect", time.perf_counter() - t0)
                 # Redundant-keyframe culling every few insertions
                 # (reference: LocalMapping::KeyFrameCulling runs per KF).
                 if self.vomap.n_keyframes() % 4 == 0:
+                    t0 = time.perf_counter()
                     self._reanchor_trajectory(self.mapper.cull_keyframes())
+                    self._stage("kf_cull", time.perf_counter() - t0)
                 self.invalidate_map_snapshot()
         else:
             self.state = TrackState.LOST
@@ -800,13 +845,15 @@ class Tracker:
 
     def invalidate_map_snapshot(self):
         self._snap = None
+        self._snap_host = None
 
-    def _local_map_snapshot(self):
-        """Device-resident local-map snapshot, rebuilt only when the map
-        changed (KF insertion / BA / culling) — keeps the per-frame path at
-        one host->device upload (the images) and one device->host pull."""
-        if self._snap is not None:
-            return self._snap
+    def _local_map_snapshot_host(self):
+        """Host-side local-map snapshot arrays + (pad, lpad) row maps. The
+        batch runner stacks these across trackers before one upload.
+        Cached until `invalidate_map_snapshot` (the gathers copy the map
+        tables, so later in-place table mutations don't leak in)."""
+        if getattr(self, "_snap_host", None) is not None:
+            return self._snap_host
         cap = self.cfg.cap.local_points
         ids = self.vomap.local_point_ids(self.cfg.tracking.local_map_size_kf, cap)
         pad = np.full((cap,), -1, np.int64)
@@ -820,21 +867,33 @@ class Tracker:
         lsafe = np.maximum(lpad, 0)
         t = self.vomap.lines
         mp = self.vomap.planes
-        self._snap = (
-            jnp.asarray(p.X_w[safe]),
-            jnp.asarray(p.desc[safe]),
-            jnp.asarray((pad >= 0) & p.valid[safe]),
-            jnp.asarray(p.octave[safe]),
-            jnp.asarray(p.angle[safe]),
-            jnp.asarray(t.X0_w[lsafe]),
-            jnp.asarray(t.X1_w[lsafe]),
-            jnp.asarray(t.desc[lsafe]),
-            jnp.asarray((lpad >= 0) & t.valid[lsafe]),
-            jnp.asarray(mp.pi_w),  # plane table is small: global slots direct
-            jnp.asarray(mp.valid),
+        self._snap_host = (
+            p.X_w[safe],
+            p.desc[safe],
+            (pad >= 0) & p.valid[safe],
+            p.octave[safe],
+            p.angle[safe],
+            t.X0_w[lsafe],
+            t.X1_w[lsafe],
+            t.desc[lsafe],
+            (lpad >= 0) & t.valid[lsafe],
+            mp.pi_w.copy(),  # plane table is small: global slots direct
+            mp.valid.copy(),
             pad,
             lpad,
         )
+        return self._snap_host
+
+    def _local_map_snapshot(self):
+        """Device-resident local-map snapshot, rebuilt only when the map
+        changed (KF insertion / BA / culling) — keeps the per-frame path at
+        one host->device upload (the images) and one device->host pull."""
+        if self._snap is not None:
+            return self._snap
+        t0 = time.perf_counter()
+        host = self._local_map_snapshot_host()
+        self._snap = tuple(jnp.asarray(a) for a in host[:-2]) + host[-2:]
+        self._stage("kf_snapshot", time.perf_counter() - t0)
         return self._snap
 
     def _track_local_map(
@@ -848,6 +907,7 @@ class Tracker:
         """Project local map into the predicted view, match, optimize pose
         (reference: TrackWithMotionModel + TrackLocalMapWithLines,
         src/Tracking.cc:2251, :2816) — all in one fused device call."""
+        t0 = time.perf_counter()
         args = self.prepare_step_args(gray, depth, T_pred)
         out_device = fused_track_step(
             self.cfg, *args, radius=radius, check_octave=check_octave
@@ -856,7 +916,9 @@ class Tracker:
         # (pose, matches, features, line/plane outputs) in a single
         # device_get — the tunnel RTT dominates, so serial per-array pulls
         # cost ~25 ms each while the whole ~150 KB batch costs one RTT.
-        return self.finish_step(jax.device_get(out_device), gray=gray)
+        out_host = jax.device_get(out_device)
+        self._stage("fused_step", time.perf_counter() - t0)
+        return self.finish_step(out_host, gray=gray)
 
     def prepare_step_args(self, gray, depth, T_pred, T_pred_b=None,
                           T_prev=None):
@@ -886,27 +948,22 @@ class Tracker:
         # Previous-frame line feed for the f2f + LK-recovery channel; the
         # stored GLOBAL map-line ids remap into the current snapshot's rows
         # (the snapshot may have been rebuilt since the feed was captured).
-        Ml = self.cfg.cap.lines
+        p0_h, p1_h, desc_h, valid_h, prev_row_h, gray_h = self._prev_feed_host(lpad)
         feed = self._prev_line_feed
         if feed is not None and self.cfg.use_lines:
-            inv = np.full((self.cfg.cap.map_lines,), -1, np.int32)
-            rows = np.nonzero(lpad >= 0)[0]
-            inv[lpad[rows]] = rows.astype(np.int32)
-            gid = feed["gid"]
-            prev_row = np.where(gid >= 0, inv[np.maximum(gid, 0)], -1)
             prev_args = (
-                feed["gray"],
-                jnp.asarray(feed["p0"]), jnp.asarray(feed["p1"]),
-                jnp.asarray(feed["desc"]), jnp.asarray(feed["valid"]),
-                jnp.asarray(prev_row.astype(np.int32)),
+                feed["gray"] if isinstance(feed["gray"], jax.Array)
+                else jnp.asarray(gray_h),
+                jnp.asarray(p0_h), jnp.asarray(p1_h),
+                jnp.asarray(desc_h), jnp.asarray(valid_h),
+                jnp.asarray(prev_row_h),
             )
         else:
-            D = 36
             prev_args = (
                 jnp.zeros_like(gray),
-                jnp.zeros((Ml, 2), jnp.float32), jnp.zeros((Ml, 2), jnp.float32),
-                jnp.zeros((Ml, D), jnp.float32), jnp.zeros((Ml,), bool),
-                jnp.full((Ml,), -1, jnp.int32),
+                jnp.asarray(p0_h), jnp.asarray(p1_h),
+                jnp.asarray(desc_h), jnp.asarray(valid_h),
+                jnp.asarray(prev_row_h),
             )
         return (
             gray, depth, mX, mdesc, mvalid, moct, mangle,
@@ -918,6 +975,61 @@ class Tracker:
             *prev_args,
         )
 
+    def _prev_feed_host(self, lpad):
+        """Host arrays for the previous-frame line-feed channel: (p0, p1,
+        desc, valid, prev_row, gray_u8). `prev_row` remaps the feed's global
+        map-line ids into the current snapshot's rows."""
+        Ml = self.cfg.cap.lines
+        D = 36
+        feed = self._prev_line_feed
+        if feed is None or not self.cfg.use_lines:
+            H = self.cfg.camera.height
+            W = self.cfg.camera.width
+            return (
+                np.zeros((Ml, 2), np.float32), np.zeros((Ml, 2), np.float32),
+                np.zeros((Ml, D), np.float32), np.zeros((Ml,), bool),
+                np.full((Ml,), -1, np.int32), np.zeros((H, W), np.uint8),
+            )
+        inv = np.full((self.cfg.cap.map_lines,), -1, np.int32)
+        rows = np.nonzero(lpad >= 0)[0]
+        inv[lpad[rows]] = rows.astype(np.int32)
+        gid = feed["gid"]
+        prev_row = np.where(gid >= 0, inv[np.maximum(gid, 0)], -1).astype(np.int32)
+        return (
+            feed["p0"], feed["p1"], feed["desc"], feed["valid"], prev_row,
+            feed["gray"],
+        )
+
+    def prepare_step_args_host(self, gray_u8, depth_u16, T_pred, T_pred_b=None,
+                               T_prev=None):
+        """All-host variant of `prepare_step_args` for the batch runner: the
+        returned leaves are numpy (snapshot via `_local_map_snapshot_host`),
+        so S trackers' tuples can be np.stack-ed into one upload per
+        position. The runner substitutes device arrays for the chained pose
+        positions and the previous batched image itself."""
+        host = self._local_map_snapshot_host()
+        (
+            mX, mdesc, mvalid, moct, mangle,
+            lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad,
+        ) = host
+        self._pads = (pad, lpad)
+        if T_pred_b is None:
+            T_pred_b = np.linalg.inv(np.asarray(T_pred)).astype(np.float32)
+        if T_prev is None:
+            T_prev = self.T_cw
+        p0_h, p1_h, desc_h, valid_h, prev_row_h, gray_h = self._prev_feed_host(lpad)
+        if np.asarray(gray_h).dtype != np.uint8:
+            gray_h = np.zeros_like(np.asarray(gray_u8))
+        return (
+            gray_u8, depth_u16, mX, mdesc, mvalid, moct, mangle,
+            lX0, lX1, ldesc, lvalid, mppi, mpvalid,
+            self.R_wm, np.asarray(self.manh_valid),
+            np.asarray(T_pred, np.float32),
+            np.asarray(T_pred_b, np.float32),
+            np.asarray(T_prev, np.float32),
+            np.asarray(gray_h), p0_h, p1_h, desc_h, valid_h, prev_row_h,
+        )
+
     def finish_step(self, out_host, gray=None):
         """Host bookkeeping for one pulled step result. `gray` is the
         device-resident uint8 frame, kept as the LK source for the next
@@ -925,8 +1037,11 @@ class Tracker:
         pad, lpad = self._pads
         (
             T_new, inlier, n_in, pt_local, visible, feats, line_out, plane_out,
-            manh_out,
+            manh_out, words,
         ) = out_host
+        # BoW words computed inside the fused program; consumed (on host) by
+        # keyframe insertion and the keyframe database.
+        self._last_words = (self.frame_id, np.asarray(words))
         n_in = int(n_in)
         pt_per_kp = np.where(pt_local >= 0, pad[np.maximum(pt_local, 0)], -1)
         matched = pt_per_kp >= 0
@@ -1240,10 +1355,15 @@ class Tracker:
             axes_c=axes_c, axes_sup=axes_sup, kp_valid=valid,
         )
         # Appearance index for relocalization (reference: KeyFrameDatabase::add).
-        words = compute_words(feats.desc)
-        self.kf_db.add(
-            kf_slot, np.asarray(bow_histogram(words, feats.valid))
-        )
+        # Words normally arrive with the fused-step result; the init path
+        # (extract_frame_jit, no fused step) computes them here.
+        t0 = time.perf_counter()
+        if self._last_words is not None and self._last_words[0] == self.frame_id:
+            words = self._last_words[1]
+        else:
+            words = np.asarray(compute_words(jnp.asarray(np.asarray(feats.desc))))
+        self.kf_db.add(kf_slot, bow_histogram_np(words, valid))
+        self._stage("kf_bow", time.perf_counter() - t0)
 
         if self.cfg.use_lines and self._last_line_out is not None:
             lf, l3d, ln_per_seg = self._last_line_out

@@ -98,6 +98,10 @@ class ManhattanConfig:
     # ParEptsNVector3DSingleFrame, Optimizer.cc:3382-3410): information on
     # the cross(dir, axis) residual per Manhattan-assigned map line.
     line_axis_info: float = 100.0
+    # Cross-line par/perp structural edges in local BA (reference:
+    # multi-frame par/perp edges, include/g2oMSC.h:332-559): information on
+    # the cross/dot residual per discovered line pair.
+    line_pair_info: float = 50.0
     # Per-axis rotation anchors in the pose LM (framework addition; the
     # mean-shift axis directions are absolute so they pin the (t_x, r_y)
     # valley — see solve/lm.py pose_optimization).
@@ -166,6 +170,7 @@ class Capacities:
     ba_fixed_kfs: int = 8
     ba_edges: int = 16384
     ba_line_pairs: int = 256  # line-endpoint pairs (axis edges) in local BA
+    ba_line_pair_edges: int = 512  # cross-line par/perp edges in local BA
 
 
 @dataclass(frozen=True)

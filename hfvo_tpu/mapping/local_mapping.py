@@ -186,6 +186,62 @@ class LocalMapper:
                 lp_valid=jnp.asarray(lp_valid),
             )
 
+        # Cross-line par/perp structural edges (reference: multi-frame
+        # par/perp edges from the map lines' par/perp observation maps,
+        # include/g2oMSC.h:332-559, added per pair in LocalMapOptimization,
+        # src/Optimizer.cc:3327-3587). Pairs discovered from the window's
+        # map-line world directions at the frame-level thresholds
+        # (3 deg par / 87 deg perp, src/Manhattan.cpp:28-34).
+        ll_kwargs = {}
+        LQ = cap.ba_line_pair_edges
+        if self.cfg.use_lines:
+            # Always pass the (possibly all-invalid) fixed-shape tables so
+            # the BA program keeps one jit signature across calls.
+            ll_sa = np.zeros((LQ,), np.int32)
+            ll_ea = np.zeros((LQ,), np.int32)
+            ll_sb = np.zeros((LQ,), np.int32)
+            ll_eb = np.zeros((LQ,), np.int32)
+            ll_kind = np.zeros((LQ,), np.int32)
+            ll_w = np.zeros((LQ,), np.float32)
+            ll_valid = np.zeros((LQ,), bool)
+            ll_kwargs = dict(
+                ll_sa=ll_sa, ll_ea=ll_ea, ll_sb=ll_sb, ll_eb=ll_eb,
+                ll_kind=ll_kind, ll_w=ll_w, ll_valid=ll_valid,
+            )
+        if len(ulines) >= 2 and self.cfg.use_lines:
+            dirs = vm.lines.X1_w[ulines] - vm.lines.X0_w[ulines]
+            dn = np.linalg.norm(dirs, axis=1)
+            dirs = dirs / np.maximum(dn, 1e-9)[:, None]
+            usable = dn > 1e-3
+            C = np.abs(dirs @ dirs.T)
+            iu, ju = np.triu_indices(len(ulines), 1)
+            ok_pair = usable[iu] & usable[ju]
+            cosv = C[iu, ju]
+            mc = self.cfg.manhattan
+            is_par = ok_pair & (cosv > np.cos(np.radians(mc.par_deg_2d3d)))
+            is_perp = ok_pair & (cosv < np.cos(np.radians(mc.perp_deg_2d3d)))
+            pi = np.concatenate([iu[is_par], iu[is_perp]])
+            pj = np.concatenate([ju[is_par], ju[is_perp]])
+            pkind = np.concatenate(
+                [np.zeros(int(is_par.sum()), np.int32),
+                 np.ones(int(is_perp.sum()), np.int32)]
+            )
+            if len(pi) > LQ:
+                sel = np.random.RandomState(1).choice(len(pi), LQ, replace=False)
+                pi, pj, pkind = pi[sel], pj[sel], pkind[sel]
+            if len(pi):
+                nq = len(pi)
+                nu = len(ulines)
+                ll_sa[:nq] = npt + pi
+                ll_ea[:nq] = npt + nu + pi
+                ll_sb[:nq] = npt + pj
+                ll_eb[:nq] = npt + nu + pj
+                ll_kind[:nq] = pkind
+                ll_w[:nq] = mc.line_pair_info
+                ll_valid[:nq] = True
+        if ll_kwargs:
+            ll_kwargs = {k: jnp.asarray(v) for k, v in ll_kwargs.items()}
+
         # Per-KF Manhattan axis anchors: reprojection-only BA shares the
         # per-frame (t_x, r_y) planar-view valley and can walk keyframe
         # poses along it (observed: online tracking fine, BA retroactively
@@ -238,6 +294,7 @@ class LocalMapper:
             le_valid=jnp.asarray(pad(np.ones(nle, bool), El)),
             **axes_kwargs,
             **lp_kwargs,
+            **ll_kwargs,
         )
         import jax
 

@@ -181,6 +181,140 @@ def coarse_manhattan_init(
     return Rs[best], rates[best]
 
 
+@partial(jax.jit, static_argnames=("n_iters",))
+def multiview_manh_init(
+    R0: jnp.ndarray,  # (3, 3) columns = seed Manhattan axes (world frame)
+    d_w: jnp.ndarray,  # (L, 3) unit line directions (world frame)
+    w: jnp.ndarray,  # (L,) observation weights (e.g. #KF observations; 0 = off)
+    axis_idx: jnp.ndarray,  # (L,) int32 axis assignment in {-1, 0, 1, 2}
+    n_iters: int = 10,
+    w_perp: float = 0.25,
+    w_unit: float = 10.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fine Manhattan initialization as a Levenberg-Marquardt optimization
+    over three free axis vectors (reference: Optimizer::MultiViewManhInit,
+    src/Optimizer.cc:3942-4338 — three marginalized `VertexSBAPointXYZ` axis
+    vertices with `Par2Vectors3DMultiFrame` / `Perp2Vectors3DMultiFrame`
+    angle edges over the keyframes' accumulated line observations, SVD
+    re-orthonormalized at :4325-4337; triggered 4 KFs after the coarse init,
+    src/LocalMapping.cc:100-110).
+
+    Each assigned line contributes one parallel edge to its axis,
+    `cross(unit(a_m), d)` (|r| = sin of the misalignment), and — because a
+    Manhattan line parallel to one axis is perpendicular to the other two —
+    down-weighted perpendicular edges `dot(unit(a_k), d)`, k != m. A soft
+    unit-norm residual fixes each vector's scale. The three axes never share
+    an edge, so the Gauss-Newton system is three independent damped 3x3
+    solves per iteration; mutual orthogonality is restored at the end by the
+    same SVD projection as the reference.
+
+    Returns (R (3, 3) columns = orthonormalized axes, final cost scalar).
+    """
+    valid = (axis_idx >= 0) & (w > 0)
+    safe_idx = jnp.maximum(axis_idx, 0)
+    onehot = jax.nn.one_hot(safe_idx, 3, dtype=jnp.float32)  # (L, 3)
+    w_par_la0 = jnp.where(valid, w, 0.0)[:, None] * onehot  # (L, 3)
+    w_perp_la0 = jnp.where(valid, w, 0.0)[:, None] * (1.0 - onehot) * w_perp
+    # Huber-IRLS robustness (reference wraps the par/perp edges in robust
+    # kernels, src/Optimizer.cc:4150-4230): |r| = sin(angle error); the
+    # delta matches the line conic gate so a mis-assigned line stops
+    # pulling its axis.
+    delta = jnp.sin(jnp.asarray(0.1018))
+
+    L = d_w.shape[0]
+
+    def _cross_all(An):
+        """(L, 3axes, 3) cross(axis_a, d_l) for every line x axis."""
+        return jnp.cross(
+            jnp.broadcast_to(An[None, :, :], (L, 3, 3)),
+            jnp.broadcast_to(d_w[:, None, :], (L, 3, 3)),
+        )
+
+    def cost_of(A, w_par_la, w_perp_la):  # A rows = axes
+        nrm = jnp.linalg.norm(A, axis=1, keepdims=True)
+        An = A / jnp.maximum(nrm, 1e-9)
+        # (L, 3axes, 3) cross residuals / (L, 3axes) dot residuals
+        r_par = _cross_all(An)
+        r_perp = jnp.sum(An[None, :, :] * d_w[:, None, :], axis=-1)
+        c = jnp.sum(w_par_la * jnp.sum(r_par * r_par, axis=-1))
+        c = c + jnp.sum(w_perp_la * r_perp * r_perp)
+        c = c + w_unit * jnp.sum((jnp.sum(A * A, axis=1) - 1.0) ** 2)
+        return c
+
+    def _irls_weights(A):
+        nrm = jnp.linalg.norm(A, axis=1, keepdims=True)
+        An = A / jnp.maximum(nrm, 1e-9)
+        s_par = jnp.linalg.norm(_cross_all(An), axis=-1)  # (L, 3)
+        s_perp = jnp.abs(jnp.sum(An[None, :, :] * d_w[:, None, :], axis=-1))
+        w_par_la = w_par_la0 * jnp.minimum(1.0, delta / jnp.maximum(s_par, 1e-9))
+        w_perp_la = w_perp_la0 * jnp.minimum(
+            1.0, delta / jnp.maximum(s_perp, 1e-9)
+        )
+        return w_par_la, w_perp_la
+
+    def body(_, carry):
+        A, lam = carry
+        w_par_la, w_perp_la = _irls_weights(A)
+        nrm = jnp.linalg.norm(A, axis=1, keepdims=True)
+        An = A / jnp.maximum(nrm, 1e-9)
+        # d(An)/dA per axis: (I - An An^T) / |A|  -> (3, 3, 3)
+        Pn = (jnp.eye(3)[None] - An[:, :, None] * An[:, None, :]) / jnp.maximum(
+            nrm[:, :, None], 1e-9
+        )
+        # Parallel edges: r = cross(An_m, d_l) = -hat(d_l) An_m.
+        # dr/dAn_m = -hat(d_l) -> (L, 3, 3), same for every axis.
+        Hd = -_hat_rows(d_w)  # (L, 3, 3)
+        r_par = _cross_all(An)  # (L, 3axes, 3)
+        # Per-axis accumulation: H_a = sum_l w J^T J, g_a = sum_l w J^T r.
+        H = jnp.einsum("la,lij,lik->ajk", w_par_la, Hd, Hd)
+        g = jnp.einsum("la,lji,laj->ai", w_par_la, Hd, r_par)  # J^T r
+        # Perpendicular edges: r = An_a . d_l, dr/dAn = d_l.
+        r_perp = jnp.sum(An[None, :, :] * d_w[:, None, :], axis=-1)  # (L, 3)
+        H = H + jnp.einsum("la,li,lj->aij", w_perp_la, d_w, d_w)
+        g = g + jnp.einsum("la,la,li->ai", w_perp_la, r_perp, d_w)
+        # Chain through d(An)/dA.
+        H = jnp.einsum("aij,aik,akl->ajl", Pn, H, Pn)
+        # (Gauss-Newton: J_A = J_An Pn, H_A = Pn^T H_An Pn, g_A = Pn^T g_An)
+        g = jnp.einsum("aij,ai->aj", Pn, g)
+        # Unit-norm residual (on raw A): r = |A|^2 - 1, J = 2 A.
+        r_u = jnp.sum(A * A, axis=1) - 1.0
+        H = H + 4.0 * w_unit * A[:, :, None] * A[:, None, :]
+        g = g + 2.0 * w_unit * r_u[:, None] * A
+        H = H + lam * jnp.eye(3)[None] * jnp.maximum(
+            jnp.diagonal(H, axis1=1, axis2=2), 1e-6
+        )[:, :, None] * jnp.eye(3)[None]
+        dA = -jnp.linalg.solve(H, g[:, :, None])[..., 0]
+        A_new = A + dA
+        accept = (
+            cost_of(A_new, w_par_la, w_perp_la) < cost_of(A, w_par_la, w_perp_la)
+        ) & jnp.all(jnp.isfinite(A_new))
+        A = jnp.where(accept, A_new, A)
+        lam = jnp.where(
+            accept, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 5.0, 1e4)
+        )
+        return A, lam
+
+    A0 = R0.T  # rows = axes
+    A, _ = jax.lax.fori_loop(0, n_iters, body, (A0, jnp.asarray(1e-3)))
+    An = A / jnp.maximum(jnp.linalg.norm(A, axis=1, keepdims=True), 1e-9)
+    R = se3.orthonormalize(An.T)  # columns = axes, SVD projection
+    wp_f, wq_f = _irls_weights(R.T)
+    return R, cost_of(R.T, wp_f, wq_f)
+
+
+def _hat_rows(v: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) -> (N, 3, 3) cross-product matrices."""
+    z = jnp.zeros_like(v[:, 0])
+    return jnp.stack(
+        [
+            jnp.stack([z, -v[:, 2], v[:, 1]], axis=-1),
+            jnp.stack([v[:, 2], z, -v[:, 0]], axis=-1),
+            jnp.stack([-v[:, 1], v[:, 0], z], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
 def line_axis_assignment(
     R_cm: jnp.ndarray, line_dirs: jnp.ndarray, cone: float = 0.1018
 ) -> jnp.ndarray:

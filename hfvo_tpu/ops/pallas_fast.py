@@ -10,6 +10,12 @@ contiguous-arc tests, and the arc-strength accumulation entirely in VMEM —
 one pass, no boolean intermediates in HBM.
 
 `fast_score_pallas(img, th)` matches `ops.fast.fast_score(img, th)` exactly.
+
+Batching: `jax.vmap`'s automatic pallas batching places the batch axis where
+the TPU tiling rules reject it, so the kernel registers a `custom_vmap` rule
+that lowers a batched call to the same kernel over a (S, gh, gw) grid with
+the batch dimension squeezed per block — the multi-sequence tracker
+(parallel/multiseq.py) vmaps the whole fused per-frame program through this.
 """
 from __future__ import annotations
 
@@ -49,29 +55,47 @@ def _kernel(ring_ref, c_ref, out_ref, *, th: float):
     out_ref[...] = jnp.where(is_corner, score, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
-def fast_score_pallas(
-    img: jnp.ndarray, threshold: float, interpret: bool = False
-) -> jnp.ndarray:
-    """Dense FAST-9/16 response map via a tiled Pallas kernel."""
-    from jax.experimental import pallas as pl
-
-    h, w = img.shape
+def _pad_and_ring(img: jnp.ndarray):
+    """(…, H, W) -> padded center (…, ph, pw) + ring stack (…, 16, ph, pw)."""
+    h, w = img.shape[-2:]
     gh = -(-h // TILE_H)
     gw = -(-w // TILE_W)
     ph, pw = gh * TILE_H, gw * TILE_W
     pad = 3
-    img_p = jnp.pad(img, ((pad, ph - h + pad), (pad, pw - w + pad)))
-    center = img_p[pad : pad + ph, pad : pad + pw]
+    widths = [(0, 0)] * (img.ndim - 2) + [
+        (pad, ph - h + pad),
+        (pad, pw - w + pad),
+    ]
+    img_p = jnp.pad(img, widths)
+    center = img_p[..., pad : pad + ph, pad : pad + pw]
     ring = jnp.stack(
         [
-            img_p[pad + int(dy) : pad + int(dy) + ph, pad + int(dx) : pad + int(dx) + pw]
+            img_p[
+                ...,
+                pad + int(dy) : pad + int(dy) + ph,
+                pad + int(dx) : pad + int(dx) + pw,
+            ]
             for dy, dx in CIRCLE_OFFSETS
-        ]
-    )  # (16, ph, pw)
+        ],
+        axis=-3,
+    )
+    return center, ring, gh, gw, ph, pw
 
+
+def _mask_interior(out: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return jnp.where(interior, out, 0.0)
+
+
+def _score_2d(img: jnp.ndarray, th: float, interpret: bool) -> jnp.ndarray:
+    from jax.experimental import pallas as pl
+
+    h, w = img.shape
+    center, ring, gh, gw, ph, pw = _pad_and_ring(img)
     out = pl.pallas_call(
-        functools.partial(_kernel, th=float(threshold)),
+        functools.partial(_kernel, th=th),
         grid=(gh, gw),
         in_specs=[
             pl.BlockSpec((16, TILE_H, TILE_W), lambda i, j: (0, i, j)),
@@ -81,9 +105,51 @@ def fast_score_pallas(
         out_shape=jax.ShapeDtypeStruct((ph, pw), img.dtype),
         interpret=interpret,
     )(ring, center)
+    return _mask_interior(out[:h, :w], h, w)
 
-    out = out[:h, :w]
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    interior = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(interior, out, 0.0)
+
+def _score_batched(imgs: jnp.ndarray, th: float, interpret: bool) -> jnp.ndarray:
+    """(S, H, W) -> (S, H, W): same kernel over an (S, gh, gw) grid with the
+    batch dimension squeezed out of each block."""
+    from jax.experimental import pallas as pl
+
+    s, h, w = imgs.shape
+    center, ring, gh, gw, ph, pw = _pad_and_ring(imgs)
+    out = pl.pallas_call(
+        functools.partial(_kernel, th=th),
+        grid=(s, gh, gw),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 16, TILE_H, TILE_W), lambda b, i, j: (b, 0, i, j)
+            ),
+            pl.BlockSpec((None, TILE_H, TILE_W), lambda b, i, j: (b, i, j)),
+        ],
+        out_specs=pl.BlockSpec((None, TILE_H, TILE_W), lambda b, i, j: (b, i, j)),
+        out_shape=jax.ShapeDtypeStruct((s, ph, pw), imgs.dtype),
+        interpret=interpret,
+    )(ring, center)
+    return jax.vmap(lambda o: _mask_interior(o[:h, :w], h, w))(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fast_fn(th: float, interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def fn(img):
+        return _score_2d(img, th, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, imgs):  # noqa: ANN001
+        (img_batched,) = in_batched
+        if not img_batched:
+            return fn(imgs), False
+        return _score_batched(imgs, th, interpret), True
+
+    return fn
+
+
+@functools.partial(jax.jit, static_argnames=("threshold", "interpret"))
+def fast_score_pallas(
+    img: jnp.ndarray, threshold: float, interpret: bool = False
+) -> jnp.ndarray:
+    """Dense FAST-9/16 response map via a tiled Pallas kernel."""
+    return _make_fast_fn(float(threshold), bool(interpret))(img)

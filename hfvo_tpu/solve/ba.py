@@ -70,6 +70,24 @@ class BAProblem(NamedTuple):
     lp_axis: jnp.ndarray | None = None  # (Lc, 3) world Manhattan axis
     lp_w: jnp.ndarray | None = None  # (Lc,) information (0 = no axis edge)
     lp_valid: jnp.ndarray | None = None  # (Lc,) pair exists
+    # Cross-line par/perp structural edges (reference: the multi-frame
+    # par/perp edges Par2DVectors/EptsNVector 3DMultiFrame,
+    # include/g2oMSC.h:332-559, built from each map line's accumulated
+    # par/perp observation maps). A pair couples two lines' directions:
+    # parallel -> cross(dir_a, dir_b) = 0, perpendicular ->
+    # dot(dir_a, dir_b) = 0. Residuals and gradients are exact; the
+    # landmark-landmark Hessian cross blocks between the two lines are
+    # dropped (block-Jacobi curvature) so the Schur landmark structure
+    # stays block-diagonal — the LM damping + cost-decrease acceptance
+    # still descends the true objective to the same fixed point (the
+    # reference instead hands the full sparse system to g2o).
+    ll_sa: jnp.ndarray | None = None  # (Lq,) line a start-endpoint row
+    ll_ea: jnp.ndarray | None = None  # (Lq,) line a end-endpoint row
+    ll_sb: jnp.ndarray | None = None  # (Lq,) line b start-endpoint row
+    ll_eb: jnp.ndarray | None = None  # (Lq,) line b end-endpoint row
+    ll_kind: jnp.ndarray | None = None  # (Lq,) 0 = parallel, 1 = perpendicular
+    ll_w: jnp.ndarray | None = None  # (Lq,) information
+    ll_valid: jnp.ndarray | None = None  # (Lq,) bool
     # Per-KF Manhattan axis anchors (see solve/lm.py pose_optimization):
     # row a of kf_axes_c[k] is the axis direction measured in KF k's camera
     # frame, kf_axes_w rows the matching world directions, kf_w_axis the
@@ -185,6 +203,19 @@ def _build_blocks(
         )
         total_chi2 = total_chi2 + jnp.sum(wa * jnp.sum(r_ax * r_ax, axis=-1))
 
+    if prob.ll_sa is not None:
+        r_ll, J_ea, J_eb, w_ll, chi2_ll = _line_pair_terms(prob, pt_X)
+        HJa = jnp.einsum("lab,l,lac->lbc", J_ea, w_ll, J_ea)
+        HJb = jnp.einsum("lab,l,lac->lbc", J_eb, w_ll, J_eb)
+        g_a = jnp.einsum("lab,la->lb", J_ea, w_ll[:, None] * r_ll)
+        g_b = jnp.einsum("lab,la->lb", J_eb, w_ll[:, None] * r_ll)
+        # Diagonal (block-Jacobi) curvature only — see BAProblem.ll_* note.
+        Hll = Hll.at[prob.ll_ea].add(HJa).at[prob.ll_sa].add(HJa)
+        Hll = Hll.at[prob.ll_eb].add(HJb).at[prob.ll_sb].add(HJb)
+        bl = bl.at[prob.ll_ea].add(g_a).at[prob.ll_sa].add(-g_a)
+        bl = bl.at[prob.ll_eb].add(g_b).at[prob.ll_sb].add(-g_b)
+        total_chi2 = total_chi2 + jnp.sum(chi2_ll)
+
     Hx = None
     if prob.lp_s is not None:
         r_lp, Je, w_lp, chi2_lp = _line_axis_terms(prob, pt_X)
@@ -199,6 +230,50 @@ def _build_blocks(
         bl = bl.at[prob.lp_s].add(-g_e)
         total_chi2 = total_chi2 + jnp.sum(chi2_lp)
     return Hpp, Hll, Hx, U, bp, bl, total_chi2
+
+
+def _line_pair_terms(prob: BAProblem, pt_X):
+    """Cross-line par/perp residuals r (Lq, 3), per-endpoint Jacobians
+    (J_ea, J_eb — start endpoints are their negations), weights, chi2.
+    Parallel: r = cross(da, db); perpendicular: r = (da.db, 0, 0)."""
+    Xsa, Xea = pt_X[prob.ll_sa], pt_X[prob.ll_ea]
+    Xsb, Xeb = pt_X[prob.ll_sb], pt_X[prob.ll_eb]
+    va, vb = Xea - Xsa, Xeb - Xsb
+    na = jnp.linalg.norm(va, axis=-1)
+    nb = jnp.linalg.norm(vb, axis=-1)
+    da = va / jnp.maximum(na, 1e-6)[:, None]
+    db = vb / jnp.maximum(nb, 1e-6)[:, None]
+    perp = (prob.ll_kind == 1)
+    r_par = jnp.cross(da, db)
+    dot = jnp.sum(da * db, axis=-1)
+    r_perp = jnp.concatenate(
+        [dot[:, None], jnp.zeros((dot.shape[0], 2))], axis=-1
+    )
+    r = jnp.where(perp[:, None], r_perp, r_par)
+    # d r / d da: par -> -hat(db); perp -> row0 = db.
+    z = jnp.zeros_like(da)
+    J_da = jnp.where(
+        perp[:, None, None],
+        jnp.stack([db, z, z], axis=-2),
+        -_hat3(db),
+    )
+    J_db = jnp.where(
+        perp[:, None, None],
+        jnp.stack([da, z, z], axis=-2),
+        _hat3(da),
+    )
+    Pa = (
+        jnp.eye(3)[None] - da[:, :, None] * da[:, None, :]
+    ) / jnp.maximum(na, 1e-6)[:, None, None]
+    Pb = (
+        jnp.eye(3)[None] - db[:, :, None] * db[:, None, :]
+    ) / jnp.maximum(nb, 1e-6)[:, None, None]
+    J_ea = jnp.einsum("lab,lbc->lac", J_da, Pa)
+    J_eb = jnp.einsum("lab,lbc->lac", J_db, Pb)
+    ok = prob.ll_valid & (na > 1e-3) & (nb > 1e-3)
+    w = jnp.where(ok, prob.ll_w, 0.0)
+    chi2 = w * jnp.sum(r * r, axis=-1)
+    return r, J_ea, J_eb, w, chi2
 
 
 def _line_axis_terms(prob: BAProblem, pt_X):
@@ -255,6 +330,9 @@ def _chi2_total(prob: BAProblem, kf_T, pt_X, intr, e_active, le_active):
     if prob.lp_s is not None:
         *_, chi2_lp = _line_axis_terms(prob, pt_X)
         t = t + jnp.sum(chi2_lp)
+    if prob.ll_sa is not None:
+        *_, chi2_ll = _line_pair_terms(prob, pt_X)
+        t = t + jnp.sum(chi2_ll)
     return t
 
 

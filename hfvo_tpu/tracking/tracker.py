@@ -1411,10 +1411,14 @@ class Tracker:
             ):
                 self._prev_line_feed["gid"] = ln_per_seg.astype(np.int32).copy()
 
-        # Fine Manhattan initialization: refine the world axes against the
-        # accumulated map-line directions a few keyframes after the coarse
-        # estimate (reference: MultiViewManhInit, src/Optimizer.cc:3942,
-        # triggered 4 KFs after coarse init, src/LocalMapping.cc:100-110).
+        # Fine Manhattan initialization: Levenberg-Marquardt over three free
+        # axis vectors against the accumulated map-line directions, a few
+        # keyframes after the coarse estimate (reference: MultiViewManhInit,
+        # src/Optimizer.cc:3942-4338 — 3 marginalized axis vertices +
+        # par/perp angle edges over the keyframes' line observations, SVD
+        # orthonormalized; triggered 4 KFs after coarse init,
+        # src/LocalMapping.cc:100-110). Each line weights by its observation
+        # count, the multi-frame analog of per-KF edges.
         if (
             self.cfg.use_manhattan
             and self.manh_valid
@@ -1431,13 +1435,18 @@ class Tracker:
                 n = min(len(dw), CAP)
                 buf[:n] = dw[:n]
                 wgt = np.zeros((CAP,), np.float32)
-                wgt[:n] = 1.0
-                R_new, sup = manh_ops.refine_axes(
+                wgt[:n] = np.minimum(
+                    lt.n_obs[lv][:n].astype(np.float32), 8.0
+                ).clip(1.0)
+                aidx = np.full((CAP,), -1, np.int32)
+                aidx[:n] = lt.manh_idx[lv][:n]
+                R_new, _cost = manh_ops.multiview_manh_init(
                     jnp.asarray(self.R_wm), jnp.asarray(buf), jnp.asarray(wgt),
-                    cone=self.cfg.manhattan.line_cone, n_iters=3,
+                    jnp.asarray(aidx),
                 )
-                if int(np.asarray(sup).min()) >= 0:  # completion handles gaps
-                    self.R_wm = np.asarray(R_new).astype(np.float32)
+                R_new = np.asarray(R_new)
+                if np.isfinite(R_new).all():
+                    self.R_wm = R_new.astype(np.float32)
                     self.mapper.R_wm = self.R_wm
                     self._manh_fine_done = True
 

@@ -271,3 +271,100 @@ def test_ba_line_axis_edges(rng):
     # With the edges active the directions must beat the zero-weight path
     # as well (not just the scalar path).
     assert np.median(e_ax) < 0.6 * np.median(dir_err(res_zero))
+
+
+def test_ba_cross_line_par_perp_edges(rng):
+    """Cross-line par/perp structural edges (reference: multi-frame par/perp
+    edges, include/g2oMSC.h:332-559): mutually parallel lines perturbed
+    off-direction must come back more parallel to EACH OTHER (and perp
+    pairs more perpendicular) than without the edges."""
+    from hfvo_tpu.geometry import camera as cam
+
+    K, P_pts, n_lines = 4, 80, 10
+    prob0, T_gt, X_gt, _ = make_ba_problem(rng, K=K, P=P_pts, pose_noise=0.01,
+                                           pt_noise=0.01, obs_noise=0.2)
+    # 6 lines along world x, 4 along world y.
+    dirs_gt = np.zeros((n_lines, 3), np.float32)
+    dirs_gt[:6, 0] = 1.0
+    dirs_gt[6:, 1] = 1.0
+    L0 = np.stack([rng.uniform(-2, 0, n_lines), rng.uniform(-1.5, 0.5, n_lines),
+                   rng.uniform(3.5, 6, n_lines)], 1).astype(np.float32)
+    L1 = L0 + dirs_gt * rng.uniform(0.8, 1.5, (n_lines, 1)).astype(np.float32)
+
+    le_kf, le_lm, le_l2d = [], [], []
+    for k in range(K):
+        uv0 = np.array(cam.project(INTR, se3.transform(jnp.asarray(T_gt[k]), jnp.asarray(L0))))
+        uv1 = np.array(cam.project(INTR, se3.transform(jnp.asarray(T_gt[k]), jnp.asarray(L1))))
+        dd = uv1 - uv0
+        n = np.stack([-dd[:, 1], dd[:, 0]], 1)
+        n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-9
+        c = -(n * uv0).sum(1)
+        l2d = np.concatenate([n, c[:, None]], 1).astype(np.float32)
+        for i in range(n_lines):
+            le_kf += [k, k]
+            le_lm += [P_pts + i, P_pts + n_lines + i]
+            le_l2d += [l2d[i], l2d[i]]
+    El = len(le_kf)
+
+    perturb = rng.normal(size=(n_lines, 3)).astype(np.float32) * 0.04
+    lm_X = np.concatenate([
+        np.asarray(prob0.pt_X)[:P_pts], L0 + perturb, L1 - perturb,
+    ])
+    P_total = P_pts + 2 * n_lines
+    base = prob0._replace(
+        pt_X=jnp.asarray(lm_X),
+        pt_valid=jnp.ones((P_total,), bool),
+        le_kf=jnp.asarray(np.array(le_kf, np.int32)),
+        le_lm=jnp.asarray(np.array(le_lm, np.int32)),
+        le_line2d=jnp.asarray(np.stack(le_l2d)),
+        le_inv_sigma2=jnp.ones((El,)),
+        le_valid=jnp.ones((El,), bool),
+    )
+    # Par pairs among the x lines + perp pairs x-vs-y.
+    pi, pj, kind = [], [], []
+    for i in range(6):
+        for j in range(i + 1, 6):
+            pi.append(i); pj.append(j); kind.append(0)
+    for i in range(6):
+        for j in range(6, n_lines):
+            pi.append(i); pj.append(j); kind.append(1)
+    LQ = 64
+    nq = len(pi)
+    ll = dict(
+        ll_sa=np.zeros((LQ,), np.int32), ll_ea=np.zeros((LQ,), np.int32),
+        ll_sb=np.zeros((LQ,), np.int32), ll_eb=np.zeros((LQ,), np.int32),
+        ll_kind=np.zeros((LQ,), np.int32), ll_w=np.zeros((LQ,), np.float32),
+        ll_valid=np.zeros((LQ,), bool),
+    )
+    ll["ll_sa"][:nq] = P_pts + np.array(pi)
+    ll["ll_ea"][:nq] = P_pts + n_lines + np.array(pi)
+    ll["ll_sb"][:nq] = P_pts + np.array(pj)
+    ll["ll_eb"][:nq] = P_pts + n_lines + np.array(pj)
+    ll["ll_kind"][:nq] = kind
+    ll["ll_w"][:nq] = 50.0
+    ll["ll_valid"][:nq] = True
+    with_ll = base._replace(**{k: jnp.asarray(v) for k, v in ll.items()})
+
+    def par_err(res):
+        X = np.asarray(res.pt_X)
+        d = X[P_pts + n_lines : P_pts + 2 * n_lines] - X[P_pts : P_pts + n_lines]
+        d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+        errs = []
+        for i, j, kd in zip(pi, pj, kind):
+            c = abs(float(d[i] @ d[j]))
+            errs.append(1.0 - c if kd == 0 else c)
+        return float(np.mean(errs))
+
+    res_plain = local_bundle_adjustment(base, INTR)
+    res_ll = local_bundle_adjustment(with_ll, INTR)
+    e_plain, e_ll = par_err(res_plain), par_err(res_ll)
+    assert e_ll < 0.6 * e_plain, (e_plain, e_ll)
+    # Poses must not degrade.
+    def pose_err(res):
+        T = np.asarray(res.kf_T_cw)[:K]
+        return max(
+            float(np.abs(np.asarray(se3.log_se3(
+                jnp.asarray(T_gt[k].astype(np.float32)) @ se3.inv(jnp.asarray(T[k]))
+            ))).max()) for k in range(2, K)
+        )
+    assert pose_err(res_ll) < 0.02, pose_err(res_ll)

@@ -118,3 +118,46 @@ def test_line_axis_assignment():
     a = np.asarray(manhattan.line_axis_assignment(jnp.asarray(R), dirs))
     assert list(a[:3]) == [0, 1, 2]
     assert a[3] == -1
+
+
+def test_multiview_manh_init_lm_beats_meanshift(rng):
+    """MultiViewManhInit as an LM (reference: Optimizer.cc:3942-4338): from
+    a coarse init ~10 deg off — beyond the mean-shift conic gate — the LM
+    still converges to sub-degree axes while the refit stays stuck."""
+    from hfvo_tpu.geometry import se3
+
+    errs_lm, errs_ms = [], []
+    for seed in range(8):
+        r = np.random.default_rng(seed)
+        q = r.normal(size=4)
+        q /= np.linalg.norm(q)
+        R_true = np.asarray(se3.mat_from_quat(jnp.asarray(q.astype(np.float32))))
+        L = 128
+        idx = r.integers(0, 3, L).astype(np.int32)
+        d = R_true[:, idx].T + r.normal(size=(L, 3)) * 0.03
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        w = np.ones(L, np.float32)
+        v = r.normal(size=3)
+        v = v / np.linalg.norm(v) * 0.17  # ~10 deg initial error
+        R0 = np.asarray(se3.exp_so3(jnp.asarray(v.astype(np.float32)))) @ R_true
+
+        def angerr(R):
+            cos = np.abs(np.sum(R * R_true, axis=0))
+            return np.degrees(np.arccos(np.clip(cos, -1, 1))).max()
+
+        R_lm, _ = manhattan.multiview_manh_init(
+            jnp.asarray(R0.astype(np.float32)), jnp.asarray(d.astype(np.float32)),
+            jnp.asarray(w), jnp.asarray(idx), n_iters=15,
+        )
+        R_ms, _ = manhattan.refine_axes(
+            jnp.asarray(R0.astype(np.float32)), jnp.asarray(d.astype(np.float32)),
+            jnp.asarray(w), cone=0.1018, n_iters=3,
+        )
+        errs_lm.append(angerr(np.asarray(R_lm)))
+        errs_ms.append(angerr(np.asarray(R_ms)))
+    assert max(errs_lm) < 0.5, errs_lm
+    # Some alignments keep the refit inside its cone (it does fine there);
+    # the failure mode is the stuck-outside-cone case, which the LM never
+    # hits.
+    assert max(errs_ms) > 2.0, (errs_lm, errs_ms)
+    assert np.mean(errs_ms) > 3.0 * np.mean(errs_lm), (errs_lm, errs_ms)

@@ -150,6 +150,9 @@ class TrackingConfig:
     # (reference: LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:335
     # — the only way landmarks beyond the depth range enter the map).
     triangulate_new_points: bool = True
+    # Two-view line triangulation with third-view verification (reference:
+    # LocalMapping::CreateNewMapLinesConstraint, src/LocalMapping.cc:1064).
+    triangulate_new_lines: bool = True
 
 
 @dataclass(frozen=True)

@@ -466,6 +466,159 @@ class LocalMapper:
             created += len(ia)
         return created
 
+    def create_new_map_lines(self, max_neighbors: int = 3) -> int:
+        """Triangulate new map lines for the newest keyframe's landmark-less
+        segments against covisible neighbors, with third-view verification
+        (reference: LocalMapping::CreateNewMapLinesConstraint,
+        src/LocalMapping.cc:1064-1203 — the only way lines beyond the depth
+        range become landmarks). Returns #lines created."""
+        vm = self.vomap
+        newest = vm.newest_kf_slot
+        if newest < 0 or not vm.keyframes.valid[newest]:
+            return 0
+        kf = vm.keyframes
+        kl = vm.kf_lines
+        cam = self.cfg.camera
+        neigh = vm.covisible_kfs(newest, min_weight=10, cap=max_neighbors + 1)
+        if len(neigh) < 2:
+            return 0
+        from ..ops.triangulate import triangulate_lines_pair
+
+        cand_a = kl.seg_valid[newest] & (kl.line_id[newest] < 0)
+        if not cand_a.any():
+            return 0
+        T_a = kf.T_cw[newest]
+        C_a = -T_a[:3, :3].T @ T_a[:3, 3]
+        min_baseline = cam.bf / cam.fx
+        T_wa = np.linalg.inv(T_a)
+        created = 0
+        for bi, nb in enumerate(neigh[:max_neighbors]):
+            if not cand_a.any():
+                break
+            T_b = kf.T_cw[nb]
+            C_b = -T_b[:3, :3].T @ T_b[:3, 3]
+            if np.linalg.norm(C_a - C_b) < min_baseline:
+                continue
+            cand_b = kl.seg_valid[nb] & (kl.line_id[nb] < 0)
+            if not cand_b.any():
+                continue
+            # Third view: the best covisible neighbor that is not b.
+            third = [c for c in neigh if c != nb][0]
+            T_ab = (T_a @ np.linalg.inv(T_b)).astype(np.float32)
+            T_ca = (kf.T_cw[third] @ T_wa).astype(np.float32)
+            res = triangulate_lines_pair(
+                cam,
+                jnp.asarray(kl.p0[newest]), jnp.asarray(kl.p1[newest]),
+                jnp.asarray(kl.desc[newest]), jnp.asarray(cand_a),
+                jnp.asarray(kl.p0[nb]), jnp.asarray(kl.p1[nb]),
+                jnp.asarray(kl.desc[nb]), jnp.asarray(cand_b),
+                jnp.asarray(T_ab),
+                jnp.asarray(kl.p0[third]), jnp.asarray(kl.p1[third]),
+                jnp.asarray(kl.seg_valid[third]),
+                jnp.asarray(T_ca),
+            )
+            ok, mb, X0a, X1a = jax.device_get(
+                (res.ok, res.match_b, res.X0_a, res.X1_a)
+            )
+            ia = np.nonzero(ok & cand_a)[0]
+            if len(ia) == 0:
+                continue
+            ib = mb[ia]
+            X0w = (T_wa[:3, :3] @ X0a[ia].T).T + T_wa[:3, 3]
+            X1w = (T_wa[:3, :3] @ X1a[ia].T).T + T_wa[:3, 3]
+            lids = vm.add_lines(
+                X0w.astype(np.float32), X1w.astype(np.float32),
+                kl.desc[newest][ia], int(kf.frame_id[newest]),
+                first_kf=newest,
+            )
+            made = lids >= 0
+            ia, ib, lids = ia[made], ib[made], lids[made]
+            if len(ia) == 0:
+                continue
+            kl.line_id[newest, ia] = lids
+            kl.obs_valid[newest, ia] = True
+            kl.line_id[nb, ib] = lids
+            kl.obs_valid[nb, ib] = True
+            vm.lines.n_obs[lids] = 2
+            # line2d for the b observation from its own segment geometry.
+            h0 = np.concatenate([kl.p0[nb][ib], np.ones((len(ib), 1))], axis=1)
+            h1 = np.concatenate([kl.p1[nb][ib], np.ones((len(ib), 1))], axis=1)
+            l2 = np.cross(h0, h1)
+            l2 /= np.linalg.norm(l2[:, :2], axis=1, keepdims=True) + 1e-9
+            kl.line2d[nb, ib] = l2.astype(np.float32)
+            cand_a[ia] = False
+            created += len(ia)
+        return created
+
+    def fuse_lines(self, max_desc: float = 0.4) -> int:
+        """Merge duplicate map lines observed by the local window
+        (reference: LocalMapping::SearchLineInNeighbors -> LSDmatcher::Fuse,
+        src/LocalMapping.cc:1699, src/LSDmatcher.cpp:1297). Vectorized:
+        pairwise direction alignment + mutual endpoint-to-line distance +
+        descriptor distance; the survivor is the more-observed line and
+        keyframe observations re-point to it. Returns #merges."""
+        vm = self.vomap
+        ids = vm.local_line_ids(self.cfg.cap.local_kfs, self.cfg.cap.local_lines)
+        if len(ids) < 2:
+            return 0
+        t = vm.lines
+        X0, X1 = t.X0_w[ids], t.X1_w[ids]
+        d = X1 - X0
+        ln = np.linalg.norm(d, axis=1)
+        usable = ln > 1e-3
+        u = d / np.maximum(ln, 1e-9)[:, None]
+        cosd = np.abs(u @ u.T)
+        # Perpendicular distance of i's midpoint to j's infinite line.
+        mid = 0.5 * (X0 + X1)
+        rel = mid[:, None, :] - X0[None, :, :]  # (n, n, 3)
+        along = np.einsum("ijc,jc->ij", rel, u)
+        perp = rel - along[:, :, None] * u[None, :, :]
+        dperp = np.linalg.norm(perp, axis=-1)
+        # Along-line overlap: i's midpoint must fall inside j's span (+20%).
+        overlap = (along > -0.2 * ln[None, :]) & (along < 1.2 * ln[None, :])
+        desc = t.desc[ids]
+        dn = desc / (np.linalg.norm(desc, axis=1, keepdims=True) + 1e-9)
+        ddist = 1.0 - dn @ dn.T
+        near = (
+            (cosd > np.cos(np.radians(3.0)))
+            & (dperp < 0.08) & (dperp.T < 0.08)
+            & overlap & overlap.T
+            & (ddist < max_desc)
+            & usable[:, None] & usable[None, :]
+        )
+        np.fill_diagonal(near, False)
+        ai, bj = np.nonzero(np.triu(near, 1))
+        if len(ai) == 0:
+            return 0
+        remap: dict = {}
+        for a, b in zip(ids[ai], ids[bj]):
+            ia, ib = int(a), int(b)
+            while ia in remap:
+                ia = remap[ia]
+            while ib in remap:
+                ib = remap[ib]
+            if ia == ib or not (t.valid[ia] and t.valid[ib]):
+                continue
+            keep, drop = (ia, ib) if t.n_obs[ia] >= t.n_obs[ib] else (ib, ia)
+            remap[drop] = keep
+            t.n_obs[keep] += t.n_obs[drop]
+            t.n_found[keep] += t.n_found[drop]
+            t.n_visible[keep] += t.n_visible[drop]
+            t.valid[drop] = False
+        if remap:
+            def resolve(k):
+                while k in remap:
+                    k = remap[k]
+                return k
+
+            lut = np.arange(t.valid.shape[0], dtype=np.int32)
+            for d_, k_ in remap.items():
+                lut[d_] = resolve(k_)
+            lid = vm.kf_lines.line_id
+            mask = lid >= 0
+            lid[mask] = lut[lid[mask]]
+        return len(remap)
+
     def fuse_points(self, radius_px: float = 2.0, max_desc: int = 30) -> int:
         """Merge duplicate map points observed by the recent window.
 

@@ -158,6 +158,137 @@ def triangulate_pair(
     return TriangulationResult(X_a, jnp.where(ok, b_of_a, -1), ok)
 
 
+class LineTriangulationResult(NamedTuple):
+    X0_a: jnp.ndarray  # (C, 3) endpoint 0 in frame-A camera coords
+    X1_a: jnp.ndarray  # (C, 3)
+    match_b: jnp.ndarray  # (C,) matched segment index in B (-1 = none)
+    ok: jnp.ndarray  # (C,) bool
+
+
+@partial(jax.jit, static_argnames=("intr", "max_desc_dist", "max_angle"))
+def triangulate_lines_pair(
+    intr,
+    p0_a: jnp.ndarray,  # (C, 2) segment endpoints of KF a (new keyframe)
+    p1_a: jnp.ndarray,
+    desc_a: jnp.ndarray,  # (C, D) float band descriptors
+    cand_a: jnp.ndarray,  # (C,) landmark-less detected segments
+    p0_b: jnp.ndarray,  # (C, 2) segments of neighbor KF b
+    p1_b: jnp.ndarray,
+    desc_b: jnp.ndarray,
+    cand_b: jnp.ndarray,
+    T_ab: jnp.ndarray,  # (4, 4) a-camera <- b-camera
+    p0_c: jnp.ndarray,  # (C, 2) third-view segments for verification
+    p1_c: jnp.ndarray,
+    seg_c: jnp.ndarray,  # (C,) third view has a detected segment
+    T_ca: jnp.ndarray,  # (4, 4) c-camera <- a-camera
+    max_desc_dist: float = 0.45,
+    max_angle: float = 0.15,
+) -> LineTriangulationResult:
+    """Two-view line triangulation with third-view consistency.
+
+    TPU-native equivalent of `LocalMapping::CreateNewMapLinesConstraint`
+    (reference: src/LocalMapping.cc:1064-1203 — LSDmatcher::
+    SearchForTriangulation across >= 2 neighbor keyframes, per-match
+    plane-plane intersection, 3-view agreement). One batched program:
+    descriptor matching under a rotation-warp angle gate, every matched
+    pair's 3D line as the intersection of the two back-projected planes
+    (each 2D segment + camera center spans a plane; endpoints come from
+    intersecting KF a's endpoint rays with KF b's plane), then acceptance
+    only when a third keyframe sees a collinear segment."""
+    Kinv = jnp.array(
+        [
+            [1.0 / intr.fx, 0.0, -intr.cx / intr.fx],
+            [0.0, 1.0 / intr.fy, -intr.cy / intr.fy],
+            [0.0, 0.0, 1.0],
+        ],
+        jnp.float32,
+    )
+
+    def rays(p):
+        h = jnp.concatenate([p, jnp.ones_like(p[:, :1])], axis=1)
+        return h @ Kinv.T  # (C, 3) unit-z rays
+
+    r0a, r1a = rays(p0_a), rays(p1_a)
+    r0b, r1b = rays(p0_b), rays(p1_b)
+    # Back-projected plane normal per segment (through the camera center).
+    n_a = jnp.cross(r0a, r1a)
+    n_a = n_a / (jnp.linalg.norm(n_a, axis=-1, keepdims=True) + 1e-12)
+    n_b = jnp.cross(r0b, r1b)
+    n_b = n_b / (jnp.linalg.norm(n_b, axis=-1, keepdims=True) + 1e-12)
+
+    # Descriptor matching with a rotation-warped direction gate: segment
+    # direction in b, rotated into a, must agree with the direction in a
+    # (reference gates SearchForTriangulation by warped geometry,
+    # src/LSDmatcher.cpp:1155-1290).
+    from .lines import line_distance_matrix
+
+    R_ab, t_ab = T_ab[:3, :3], T_ab[:3, 3]
+    d_a = r1a - r0a  # image-plane direction proxies (z = 0 component small)
+    d_b_in_a = (r1b - r0b) @ R_ab.T
+    ua = d_a / (jnp.linalg.norm(d_a, axis=-1, keepdims=True) + 1e-9)
+    ub = d_b_in_a / (jnp.linalg.norm(d_b_in_a, axis=-1, keepdims=True) + 1e-9)
+    cosd = jnp.abs(ua @ ub.T)  # (Ca, Cb)
+    ang_ok = cosd > jnp.cos(max_angle)
+    mask = cand_a[:, None] & cand_b[None, :] & ang_ok
+    D = line_distance_matrix(desc_a, desc_b)
+    Di = jnp.clip((D * 1000).astype(jnp.int32), 0, 2000)
+    b_of_a, best_d, _ = hamming.masked_best2(Di, mask, invalid=10_000)
+    matched = (b_of_a >= 0) & (best_d <= int(max_desc_dist * 1000))
+    jb = jnp.maximum(b_of_a, 0)
+
+    # Plane of b's matched segment expressed in a's frame: normal
+    # m = R_ab n_b, passing through the b-camera center t_ab:
+    # m . (X - t_ab) = 0. Endpoint depths: X = s r with m.(s r - t_ab)=0.
+    m = n_b[jb] @ R_ab.T  # (C, 3)
+    md = jnp.sum(m * t_ab[None, :], axis=-1)  # (C,)
+    s0 = md / (jnp.sum(m * r0a, axis=-1) + 1e-12)
+    s1 = md / (jnp.sum(m * r1a, axis=-1) + 1e-12)
+    X0 = s0[:, None] * r0a
+    X1 = s1[:, None] * r1a
+
+    # Degenerate when the two planes are near-parallel (no parallax): gate
+    # on the angle between plane normals (reference uses the epipolar
+    # parallax test, src/LocalMapping.cc:1130-1160).
+    m_all = n_b @ R_ab.T
+    sin_pl = jnp.linalg.norm(jnp.cross(n_a, m_all[jb]), axis=-1)
+    length = jnp.linalg.norm(X1 - X0, axis=-1)
+    ok = (
+        matched
+        & (sin_pl > 0.02)
+        & (s0 > 0.2) & (s1 > 0.2) & (s0 < 12.0) & (s1 < 12.0)
+        & (length > 0.05) & (length < 10.0)
+        & jnp.isfinite(X0).all(axis=1) & jnp.isfinite(X1).all(axis=1)
+    )
+
+    # Third-view consistency: project the candidate into KF c; some
+    # detected segment there must be collinear (small perpendicular
+    # distance of both projected endpoints to its infinite line, aligned
+    # direction) (reference: 3-view check, src/LocalMapping.cc:1105-1203).
+    X0c = se3.transform(T_ca, X0)
+    X1c = se3.transform(T_ca, X1)
+    q0 = camera_ops.project(intr, X0c)
+    q1 = camera_ops.project(intr, X1c)
+    front_c = (X0c[:, 2] > 0.1) & (X1c[:, 2] > 0.1)
+    dc = p1_c - p0_c
+    lc = jnp.linalg.norm(dc, axis=-1) + 1e-9
+    uc = dc / lc[:, None]
+    nc = jnp.stack([-uc[:, 1], uc[:, 0]], axis=1)  # (Cc, 2)
+    off = jnp.sum(nc * p0_c, axis=-1)  # (Cc,)
+    dist0 = jnp.abs(q0 @ nc.T - off[None, :])  # (Ca, Cc)
+    dist1 = jnp.abs(q1 @ nc.T - off[None, :])
+    dq = q1 - q0
+    uq = dq / (jnp.linalg.norm(dq, axis=-1, keepdims=True) + 1e-9)
+    cos_c = jnp.abs(uq @ uc.T)
+    support = (
+        seg_c[None, :]
+        & (dist0 < 3.0) & (dist1 < 3.0)
+        & (cos_c > jnp.cos(max_angle))
+    )
+    third_ok = front_c & jnp.any(support, axis=1)
+    ok = ok & third_ok
+    return LineTriangulationResult(X0, X1, jnp.where(ok, b_of_a, -1), ok)
+
+
 @partial(jax.jit, static_argnames=("intr", "max_hamming", "scale_factor"))
 def triangulate_multi(
     intr,

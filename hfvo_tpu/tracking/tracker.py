@@ -616,8 +616,14 @@ class Tracker:
                     t0 = time.perf_counter()
                     self.mapper.create_new_map_points()
                     self._stage("kf_triangulate", time.perf_counter() - t0)
+                if self.cfg.use_lines and self.cfg.tracking.triangulate_new_lines:
+                    t0 = time.perf_counter()
+                    self.mapper.create_new_map_lines()
+                    self._stage("kf_triangulate_lines", time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 self.mapper.fuse_points()
+                if self.cfg.use_lines:
+                    self.mapper.fuse_lines()
                 self._stage("kf_fuse", time.perf_counter() - t0)
                 if self.use_local_ba:
                     t0 = time.perf_counter()
@@ -1400,7 +1406,9 @@ class Tracker:
                     self.vomap.lines.manh_idx[lids[created]] = midx
             l_obs_valid = lvalid & (ln_per_seg >= 0)
             self.vomap.add_kf_line_obs(
-                kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid
+                kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid,
+                p0=np.asarray(lf.p0), p1=np.asarray(lf.p1),
+                desc=ldesc, seg_valid=lvalid,
             )
             self.vomap.cull_lines(self.frame_id)
             # Newly created map lines become inheritable by the next

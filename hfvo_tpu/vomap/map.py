@@ -197,18 +197,30 @@ class KeyFramePlaneTable:
 @dataclass
 class KeyFrameLineTable:
     """Per-keyframe line observations: which map line each detected segment
-    observes, plus the observed 2D infinite line for BA edges."""
+    observes, plus the observed 2D infinite line for BA edges. Raw segment
+    geometry + descriptors are kept for EVERY detected segment (matched or
+    not) so local mapping can triangulate new map lines across keyframes
+    (reference: KeyFrame keeps mvKeyLines + mLineDescriptors for
+    CreateNewMapLinesConstraint, src/LocalMapping.cc:1064)."""
 
     line_id: np.ndarray  # (K, C) int32, -1 = none
     line2d: np.ndarray  # (K, C, 3) normalized (a, b, c)
     obs_valid: np.ndarray  # (K, C)
+    p0: np.ndarray  # (K, C, 2) float32 segment endpoints (pixels)
+    p1: np.ndarray  # (K, C, 2)
+    desc: np.ndarray  # (K, C, D) float32 band descriptors
+    seg_valid: np.ndarray  # (K, C) detected segment (matched or not)
 
     @staticmethod
-    def empty(k: int, c: int) -> "KeyFrameLineTable":
+    def empty(k: int, c: int, d: int = 36) -> "KeyFrameLineTable":
         return KeyFrameLineTable(
             line_id=np.full((k, c), -1, np.int32),
             line2d=np.zeros((k, c, 3), np.float32),
             obs_valid=np.zeros((k, c), bool),
+            p0=np.zeros((k, c, 2), np.float32),
+            p1=np.zeros((k, c, 2), np.float32),
+            desc=np.zeros((k, c, d), np.float32),
+            seg_valid=np.zeros((k, c), bool),
         )
 
 
@@ -291,6 +303,7 @@ class VOMap:
         # Recycled slots must not inherit stale per-KF observations.
         self.kf_lines.line_id[k] = -1
         self.kf_lines.obs_valid[k] = False
+        self.kf_lines.seg_valid[k] = False
         self.kf_planes.plane_id[k] = -1
         self.kf_planes.obs_valid[k] = False
         # Update observation counts.
@@ -321,6 +334,7 @@ class VOMap:
         kf.point_id[k] = -1
         self.kf_lines.obs_valid[k] = False
         self.kf_lines.line_id[k] = -1
+        self.kf_lines.seg_valid[k] = False
         self.kf_planes.obs_valid[k] = False
         self.kf_planes.plane_id[k] = -1
         # Re-own landmarks to the closest surviving KF by insertion order.
@@ -469,12 +483,22 @@ class VOMap:
         return ids
 
     def add_kf_line_obs(
-        self, kf_slot: int, line_id: np.ndarray, line2d: np.ndarray, obs_valid: np.ndarray
+        self, kf_slot: int, line_id: np.ndarray, line2d: np.ndarray,
+        obs_valid: np.ndarray,
+        p0: np.ndarray | None = None, p1: np.ndarray | None = None,
+        desc: np.ndarray | None = None, seg_valid: np.ndarray | None = None,
     ) -> None:
         kl = self.kf_lines
         kl.line_id[kf_slot] = line_id
         kl.line2d[kf_slot] = line2d
         kl.obs_valid[kf_slot] = obs_valid
+        if p0 is not None:
+            kl.p0[kf_slot] = p0
+            kl.p1[kf_slot] = p1
+            kl.desc[kf_slot] = desc
+            kl.seg_valid[kf_slot] = seg_valid
+        else:
+            kl.seg_valid[kf_slot] = obs_valid
         ids = line_id[obs_valid & (line_id >= 0)]
         np.add.at(self.lines.n_obs, ids, 1)
 

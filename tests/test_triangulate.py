@@ -155,3 +155,116 @@ def test_create_new_map_points_registers_both_views():
         axis=1,
     )
     assert np.median(err) < 0.05
+
+
+def test_triangulate_lines_pair_synthetic(rng):
+    """Two-view line triangulation with third-view verification recovers 3D
+    segments (reference: CreateNewMapLinesConstraint semantics)."""
+    import jax.numpy as jnp
+    from hfvo_tpu.config import tum3_config
+    from hfvo_tpu.geometry import se3, camera
+    from hfvo_tpu.ops.triangulate import triangulate_lines_pair
+
+    intr = tum3_config().camera
+    n = 24
+    C = 64
+    # Random 3D segments in front of the cameras.
+    X0 = np.stack([rng.uniform(-1.5, 1.5, n), rng.uniform(-1, 1, n),
+                   rng.uniform(3, 6, n)], 1).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    X1 = X0 + d * rng.uniform(0.5, 1.5, (n, 1)).astype(np.float32)
+
+    def view(T):
+        q0 = np.array(camera.project(intr, se3.transform(jnp.asarray(T), jnp.asarray(X0))))
+        q1 = np.array(camera.project(intr, se3.transform(jnp.asarray(T), jnp.asarray(X1))))
+        return q0.astype(np.float32), q1.astype(np.float32)
+
+    T_a = np.eye(4, dtype=np.float32)
+    T_b = np.asarray(se3.exp_se3(jnp.asarray(np.array([0.4, 0.05, 0, 0, 0.03, 0], np.float32))))
+    T_c = np.asarray(se3.exp_se3(jnp.asarray(np.array([-0.3, 0, 0.05, 0.02, 0, 0], np.float32))))
+    qa0, qa1 = view(T_a)
+    qb0, qb1 = view(T_b)
+    qc0, qc1 = view(T_c)
+
+    # Shared descriptors per line (same descriptor in both views).
+    desc = rng.normal(size=(n, 36)).astype(np.float32)
+    desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+
+    def pad2(a, fill=0.0):
+        out = np.full((C,) + a.shape[1:], fill, np.float32)
+        out[: len(a)] = a
+        return out
+
+    cand = np.zeros((C,), bool)
+    cand[:n] = True
+    T_ab = (T_a @ np.linalg.inv(T_b)).astype(np.float32)
+    T_ca = (T_c @ np.linalg.inv(T_a)).astype(np.float32)
+    res = triangulate_lines_pair(
+        intr,
+        jnp.asarray(pad2(qa0)), jnp.asarray(pad2(qa1)), jnp.asarray(pad2(desc)),
+        jnp.asarray(cand),
+        jnp.asarray(pad2(qb0)), jnp.asarray(pad2(qb1)), jnp.asarray(pad2(desc)),
+        jnp.asarray(cand),
+        jnp.asarray(T_ab),
+        jnp.asarray(pad2(qc0)), jnp.asarray(pad2(qc1)), jnp.asarray(cand),
+        jnp.asarray(T_ca),
+    )
+    ok = np.asarray(res.ok)[:n]
+    X0r = np.asarray(res.X0_a)[:n]
+    X1r = np.asarray(res.X1_a)[:n]
+    assert ok.sum() >= n * 0.6, ok.sum()
+    err0 = np.linalg.norm(X0r[ok] - X0[ok], axis=1)
+    err1 = np.linalg.norm(X1r[ok] - X1[ok], axis=1)
+    assert np.median(err0) < 0.01 and np.median(err1) < 0.01, (
+        np.median(err0), np.median(err1))
+    # Correct matches: match_b should be the identity for accepted lines.
+    mb = np.asarray(res.match_b)[:n]
+    assert (mb[ok] == np.nonzero(cand)[0][: n][ok]).mean() > 0.95
+
+
+def test_create_new_map_lines_and_fuse(rng):
+    """Tracker end-to-end: segments beyond depth range become map lines via
+    multi-view triangulation, and fuse_lines merges duplicates."""
+    from hfvo_tpu.config import tum3_config
+    from hfvo_tpu.testing import synthetic
+    from hfvo_tpu.tracking.tracker import Tracker
+
+    cfg = tum3_config()
+    T_wc, grays, depths = synthetic.render_sequence(n=14, seed=2)
+    tr = Tracker(cfg, use_local_ba=False, use_loop_closing=False)
+    for i in range(14):
+        r = tr.track_rgbd(grays[i], depths[i],
+                          T_cw_init=np.linalg.inv(T_wc[0]) if i == 0 else None)
+        assert r.state.name == "OK"
+    # Lines with exactly 2 observations created by triangulation exist OR
+    # the depth-complete synthetic room landmarks every line from depth --
+    # in that case force the path directly:
+    created = tr.mapper.create_new_map_lines()
+    merged = tr.mapper.fuse_lines()
+    assert created >= 0 and merged >= 0  # exercises both paths
+    # Duplicate-merge correctness on a constructed duplicate. fuse_lines only
+    # considers lines observed by the local KF window (like the reference's
+    # SearchLineInNeighbors), so pick a source from that set and register the
+    # duplicate as a KF observation in a free segment slot.
+    vm = tr.vomap
+    local = vm.local_line_ids(tr.mapper.cfg.cap.local_kfs,
+                              tr.mapper.cfg.cap.local_lines)
+    assert len(local) > 0
+    src = int(local[0])
+    ids = vm.add_lines(
+        vm.lines.X0_w[src][None] + 0.005, vm.lines.X1_w[src][None] + 0.005,
+        vm.lines.desc[src][None], 99, first_kf=int(vm.newest_kf_slot),
+    )
+    assert ids[0] >= 0
+    kl = vm.kf_lines
+    newest = int(vm.newest_kf_slot)
+    free = np.nonzero(kl.line_id[newest] < 0)[0]
+    assert len(free) > 0
+    kl.line_id[newest, free[0]] = ids[0]
+    kl.obs_valid[newest, free[0]] = True
+    vm.lines.n_obs[ids[0]] = 1
+    n_before = int(vm.lines.valid.sum())
+    merged = tr.mapper.fuse_lines()
+    assert merged >= 1
+    assert int(vm.lines.valid.sum()) == n_before - merged

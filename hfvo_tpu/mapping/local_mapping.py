@@ -298,35 +298,43 @@ class LocalMapper:
         )
         import jax
 
-        if self.use_distributed and len(jax.devices()) > 1 and nle == 0:
+        if self.use_distributed and len(jax.devices()) > 1:
             from ..parallel.dist_ba import (
                 dist_local_bundle_adjustment,
                 shard_ba_problem,
+                unshard_points,
             )
             from ..parallel.mesh import make_mesh
 
             ndev = len(jax.devices())
             mesh = make_mesh(n_edge=ndev, n_seq=1)
-            sp = shard_ba_problem(prob, ndev)
-            kf_T_d, pt_X_d, e_inl_d = dist_local_bundle_adjustment(
+            # Endpoint-pair co-location constraint: line i's endpoints sit at
+            # rows (npt + i, npt + nu + i) of the landmark table.
+            nu = len(ulines)
+            pair_rows = np.stack(
+                [npt + np.arange(nu), npt + nu + np.arange(nu)], axis=1
+            ) if nu else None
+            sp = shard_ba_problem(prob, ndev, pair_rows=pair_rows)
+            kf_T_d, pt_X_d, _, _ = dist_local_bundle_adjustment(
                 mesh, sp, self.cfg.camera
             )
-            # Distributed edge order differs (grouped by landmark block);
-            # map inliers back through the original edge identity by
-            # re-gating on the final geometry with the single-device rule.
-            from ..solve.ba import BAResult, _edge_terms
+            # Distributed edge/landmark order differs (grouped by landmark
+            # block); un-permute landmarks and re-gate inliers on the final
+            # geometry in the ORIGINAL edge order with the single-device rule.
+            from ..solve.ba import BAResult, _edge_terms, _line_edge_terms
 
             import jax.numpy as _jnp
 
             kf_T_j = _jnp.asarray(kf_T_d)
-            pt_X_j = _jnp.asarray(pt_X_d)
+            pt_X_j = _jnp.asarray(unshard_points(sp, pt_X_d))
             *_, chi2, okd = _edge_terms(prob, kf_T_j, pt_X_j, self.cfg.camera)
             th = _jnp.where(prob.e_stereo, 7.815, 5.991)
+            *_, chi2l, okdl = _line_edge_terms(prob, kf_T_j, pt_X_j, self.cfg.camera)
             res = BAResult(
                 kf_T_cw=kf_T_j,
                 pt_X=pt_X_j,
                 e_inlier=prob.e_valid & (chi2 <= th) & okd,
-                le_inlier=prob.le_valid & False,
+                le_inlier=prob.le_valid & (chi2l <= 3.84) & okdl,
                 chi2=_jnp.sum(_jnp.where(prob.e_valid, chi2, 0.0)),
             )
             res = jax.device_get(res)

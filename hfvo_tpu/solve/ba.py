@@ -117,17 +117,18 @@ class BAResult(NamedTuple):
     chi2: jnp.ndarray  # final total inlier chi2
 
 
-def _edge_terms(prob: BAProblem, kf_T, pt_X, intr):
+def point_edge_terms(kf_T, pt_X, e_kf, e_pt, e_obs, e_stereo, e_inv_sigma2, intr):
     """Residuals r (E,3), pose Jacobian Jp (E,3,6), point Jacobian Jx (E,3,3),
-    per-edge chi2, and depth validity."""
-    T_e = kf_T[prob.e_kf]  # (E, 4, 4)
-    X_e = pt_X[prob.e_pt]  # (E, 3)
-    r, Jp, z = residuals.point_stereo_residual(T_e, X_e, prob.e_obs, intr)
+    per-edge chi2, and depth validity. Explicit-array form shared with the
+    distributed solver (parallel/dist_ba.py)."""
+    T_e = kf_T[e_kf]  # (E, 4, 4)
+    X_e = pt_X[e_pt]  # (E, 3)
+    r, Jp, z = residuals.point_stereo_residual(T_e, X_e, e_obs, intr)
     comp = jnp.stack(
         [
-            jnp.ones_like(prob.e_inv_sigma2),
-            jnp.ones_like(prob.e_inv_sigma2),
-            prob.e_stereo.astype(r.dtype),
+            jnp.ones_like(e_inv_sigma2),
+            jnp.ones_like(e_inv_sigma2),
+            e_stereo.astype(r.dtype),
         ],
         axis=-1,
     )
@@ -137,21 +138,35 @@ def _edge_terms(prob: BAProblem, kf_T, pt_X, intr):
     # Recover Jproj from Jp's translation block (first 3 columns = Jproj).
     Jproj = Jp[:, :, :3]
     Jx = Jproj @ R_e
-    chi2 = jnp.sum(r * r * comp, axis=-1) * prob.e_inv_sigma2
+    chi2 = jnp.sum(r * r * comp, axis=-1) * e_inv_sigma2
     okd = z > 1e-3
     return r, Jp, Jx, comp, chi2, okd
 
 
-def _line_edge_terms(prob: BAProblem, kf_T, pt_X, intr):
+def _edge_terms(prob: BAProblem, kf_T, pt_X, intr):
+    return point_edge_terms(
+        kf_T, pt_X, prob.e_kf, prob.e_pt, prob.e_obs, prob.e_stereo,
+        prob.e_inv_sigma2, intr,
+    )
+
+
+def line_edge_terms(kf_T, pt_X, le_kf, le_lm, le_line2d, le_inv_sigma2, intr):
     """1-D point-to-2D-line residuals for line-endpoint edges."""
-    T_e = kf_T[prob.le_kf]
-    X_e = pt_X[prob.le_lm]
-    r, Jp, z = residuals.line_endpoint_residual(T_e, X_e, prob.le_line2d, intr)
+    T_e = kf_T[le_kf]
+    X_e = pt_X[le_lm]
+    r, Jp, z = residuals.line_endpoint_residual(T_e, X_e, le_line2d, intr)
     # point Jacobian = a-weighted proj rows @ R (recover from Jp's trans block)
     R_e = T_e[:, :3, :3]
     Jx = Jp[:, :, :3] @ R_e  # (El, 1, 3)
-    chi2 = (r[..., 0] ** 2) * prob.le_inv_sigma2
+    chi2 = (r[..., 0] ** 2) * le_inv_sigma2
     return r, Jp, Jx, chi2, z > 1e-3
+
+
+def _line_edge_terms(prob: BAProblem, kf_T, pt_X, intr):
+    return line_edge_terms(
+        kf_T, pt_X, prob.le_kf, prob.le_lm, prob.le_line2d,
+        prob.le_inv_sigma2, intr,
+    )
 
 
 def _build_blocks(
@@ -232,18 +247,17 @@ def _build_blocks(
     return Hpp, Hll, Hx, U, bp, bl, total_chi2
 
 
-def _line_pair_terms(prob: BAProblem, pt_X):
+def line_pair_terms_x(Xsa, Xea, Xsb, Xeb, ll_kind, ll_w, ll_valid):
     """Cross-line par/perp residuals r (Lq, 3), per-endpoint Jacobians
     (J_ea, J_eb — start endpoints are their negations), weights, chi2.
-    Parallel: r = cross(da, db); perpendicular: r = (da.db, 0, 0)."""
-    Xsa, Xea = pt_X[prob.ll_sa], pt_X[prob.ll_ea]
-    Xsb, Xeb = pt_X[prob.ll_sb], pt_X[prob.ll_eb]
+    Parallel: r = cross(da, db); perpendicular: r = (da.db, 0, 0).
+    Explicit endpoint-position form shared with the distributed solver."""
     va, vb = Xea - Xsa, Xeb - Xsb
     na = jnp.linalg.norm(va, axis=-1)
     nb = jnp.linalg.norm(vb, axis=-1)
     da = va / jnp.maximum(na, 1e-6)[:, None]
     db = vb / jnp.maximum(nb, 1e-6)[:, None]
-    perp = (prob.ll_kind == 1)
+    perp = (ll_kind == 1)
     r_par = jnp.cross(da, db)
     dot = jnp.sum(da * db, axis=-1)
     r_perp = jnp.concatenate(
@@ -270,31 +284,42 @@ def _line_pair_terms(prob: BAProblem, pt_X):
     ) / jnp.maximum(nb, 1e-6)[:, None, None]
     J_ea = jnp.einsum("lab,lbc->lac", J_da, Pa)
     J_eb = jnp.einsum("lab,lbc->lac", J_db, Pb)
-    ok = prob.ll_valid & (na > 1e-3) & (nb > 1e-3)
-    w = jnp.where(ok, prob.ll_w, 0.0)
+    ok = ll_valid & (na > 1e-3) & (nb > 1e-3)
+    w = jnp.where(ok, ll_w, 0.0)
     chi2 = w * jnp.sum(r * r, axis=-1)
     return r, J_ea, J_eb, w, chi2
 
 
-def _line_axis_terms(prob: BAProblem, pt_X):
+def _line_pair_terms(prob: BAProblem, pt_X):
+    return line_pair_terms_x(
+        pt_X[prob.ll_sa], pt_X[prob.ll_ea], pt_X[prob.ll_sb], pt_X[prob.ll_eb],
+        prob.ll_kind, prob.ll_w, prob.ll_valid,
+    )
+
+
+def line_axis_terms_x(Xs, Xe, lp_axis, lp_w, lp_valid):
     """cross(unit(end-start), axis) residuals (Lc, 3), the Jacobian wrt the
     END endpoint (start is its negation), effective weights, and chi2."""
-    Xs = pt_X[prob.lp_s]
-    Xe = pt_X[prob.lp_e]
     d = Xe - Xs
     nrm = jnp.linalg.norm(d, axis=-1)
     dn = d / jnp.maximum(nrm, 1e-6)[:, None]
-    a = prob.lp_axis
+    a = lp_axis
     r = jnp.cross(dn, a)  # |r| = sin(angle to axis)
     # dr/d dn = -hat(a); d dn/d d = (I - dn dn^T)/|d|; dr/dXe = chain.
     P_t = (
         jnp.eye(3)[None] - dn[:, :, None] * dn[:, None, :]
     ) / jnp.maximum(nrm, 1e-6)[:, None, None]
     Je = -jnp.einsum("lab,lbc->lac", _hat3(a), P_t)
-    ok = prob.lp_valid & (nrm > 1e-3)
-    w = jnp.where(ok, prob.lp_w, 0.0)
+    ok = lp_valid & (nrm > 1e-3)
+    w = jnp.where(ok, lp_w, 0.0)
     chi2 = w * jnp.sum(r * r, axis=-1)
     return r, Je, w, chi2
+
+
+def _line_axis_terms(prob: BAProblem, pt_X):
+    return line_axis_terms_x(
+        pt_X[prob.lp_s], pt_X[prob.lp_e], prob.lp_axis, prob.lp_w, prob.lp_valid
+    )
 
 
 def _hat3(v):
@@ -309,14 +334,18 @@ def _hat3(v):
     )
 
 
-def _axis_anchor_terms(prob: BAProblem, kf_T):
+def axis_anchor_terms_x(kf_T, kf_axes_c, kf_axes_w):
     """Per-KF axis-direction anchor residuals r (K,3,3) and rotation-block
     Jacobians -hat(v) (K,3,3,3); v_{k,a} = R_k a_w,a."""
     R = kf_T[:, :3, :3]
-    V = jnp.einsum("kij,aj->kai", R, prob.kf_axes_w)  # (K, 3axes, 3)
-    r_ax = V - prob.kf_axes_c
+    V = jnp.einsum("kij,aj->kai", R, kf_axes_w)  # (K, 3axes, 3)
+    r_ax = V - kf_axes_c
     J_ax = -se3.hat(V)
     return r_ax, J_ax
+
+
+def _axis_anchor_terms(prob: BAProblem, kf_T):
+    return axis_anchor_terms_x(kf_T, prob.kf_axes_c, prob.kf_axes_w)
 
 
 def _chi2_total(prob: BAProblem, kf_T, pt_X, intr, e_active, le_active):
@@ -343,9 +372,14 @@ def _schur_solve(prob, Hpp, Hll, Hx, U, bp, bl, lam):
     K = Hpp.shape[0]
     P = Hll.shape[0]
     eye3 = jnp.eye(3)
-    Hll_d = Hll + lam * eye3 * jnp.maximum(
-        jnp.diagonal(Hll, axis1=1, axis2=2), 1e-6
-    )[:, :, None] * eye3  # damp diagonal
+    # ISOTROPIC per-block damping (lam * max diag): a line endpoint's
+    # Hessian is near-singular along the 3D line direction (point-to-2D-line
+    # edges are invariant to sliding along the line), and per-coordinate
+    # Marquardt damping leaves an axis-aligned line's null direction
+    # essentially undamped — numerical noise in the gradient then gets
+    # amplified by 1/(lam * 1e-6) and endpoints slide metres per solve.
+    dmax = jnp.max(jnp.diagonal(Hll, axis1=1, axis2=2), axis=-1)  # (P,)
+    Hll_d = Hll + lam * jnp.maximum(dmax, 1e-6)[:, None, None] * eye3
     # Guard unobserved points: make their block identity (their rhs is 0).
     observed = jnp.abs(Hll).sum(axis=(1, 2)) > 1e-9
     Hll_d = jnp.where(observed[:, None, None], Hll_d, jnp.eye(3))

@@ -44,6 +44,10 @@ class LoopCloser:
     # groups, src/LoopClosing.cc:105-208; 2 here — detections are per-KF and
     # the RANSAC + pose-graph residual still gate geometry).
     consistency_th: int = 2
+    # Full-map BA after an accepted closure (reference: CorrectLoop launches
+    # RunGlobalBundleAdjustment, src/LoopClosing.cc:580-581); the matrix-free
+    # CG-Schur GBA (solve/global_ba.py) runs synchronously here.
+    run_gba: bool = True
     n_loops_closed: int = 0
     last_loop_order: int = -100
     _consistent_group: set = field(default_factory=set)
@@ -202,6 +206,15 @@ class LoopCloser:
             tracker.mapper.fuse_points()
             vm.merge_planes()
             tracker.invalidate_map_snapshot()
+        if self.run_gba:
+            from ..solve.global_ba import run_global_ba
+
+            # Gauge = the loop (candidate-side) keyframe: the freshly
+            # verified region anchors the map (reference fixes the origin
+            # KF + loop KF in its GBA, src/Optimizer.cc:280-296).
+            run_global_ba(vm, self.cfg.camera, gauge_kf=int(cand))
+            if tracker is not None and hasattr(tracker, "invalidate_map_snapshot"):
+                tracker.invalidate_map_snapshot()
         return True
 
     def _correct_landmarks(

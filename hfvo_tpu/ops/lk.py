@@ -77,6 +77,11 @@ def pyr_lk(
     """
     pyr0 = build_pyramid(img0, n_levels, 2.0)
     pyr1 = build_pyramid(img1, n_levels, 2.0)
+    # NOTE: do NOT wrap the pyramids in jax.lax.optimization_barrier — a
+    # barrier turns them into tuple elements, and TPU XLA lowers gathers
+    # whose operand is a tuple-element to a serialized path (~75 ms per
+    # 921k-element patch gather; measured 1.27 s for this op vs 0.2 ms
+    # without the barrier).
     scale_top = 2.0 ** (n_levels - 1)
     cur = p1_init / scale_top
     for l in range(n_levels - 1, -1, -1):
@@ -131,6 +136,66 @@ def warp_points_by_rotation(
     )
 
 
+def _avg_pool2(img: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape
+    return img[: h // 2 * 2, : w // 2 * 2].reshape(h // 2, 2, w // 2, 2).mean(
+        axis=(1, 3)
+    )
+
+
+@partial(jax.jit, static_argnames=("search", "box"))
+def dense_flow_half(
+    img0: jnp.ndarray,  # (H, W) float32 source frame
+    img1: jnp.ndarray,  # (H, W) target frame
+    search: int = 12,  # half-res px -> covers +-2*search full-res px
+    box: int = 11,  # SAD aggregation window (half-res px)
+):
+    """Dense optical flow at half resolution via a shifted-SAD cost volume
+    with softmin sub-pixel interpolation. Returns flow (H//2, W//2, 2) in
+    FULL-resolution pixels (img0 -> img1).
+
+    TPU-native formulation: scattered per-point patch gathers run on a
+    serialized path on TPU (~0.12 us/element — a classical pyramidal LK
+    costs >1 s/frame), while static-shift slices, cumsum box filters, and
+    displacement-axis reductions are all dense vector ops (~ms). The cost
+    volume is (2*search+1)^2 slices of |I0 - shift(I1)| box-filtered with a
+    summed-area trick; flow is the softmin-weighted displacement, which
+    interpolates sub-(half-)pixel without any argmin gather."""
+    a = _avg_pool2(img0)
+    b = _avg_pool2(img1)
+    h, w = a.shape
+    pad = jnp.pad(b, search, mode="edge")
+    costs = []
+    disps = []
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            sh = jax.lax.dynamic_slice(pad, (search + dy, search + dx), (h, w))
+            costs.append(jnp.abs(a - sh))
+            disps.append((dx, dy))
+    C = jnp.stack(costs)  # (D, h, w) f32
+    # Box aggregation, separable summed-area over rows then columns.
+    k = box
+    Cp = jnp.pad(C, ((0, 0), (k // 2 + 1, k // 2), (0, 0)), mode="edge")
+    cs = jnp.cumsum(Cp, axis=1)
+    C = cs[:, k:, :] - cs[:, :-k, :]
+    Cp = jnp.pad(C, ((0, 0), (0, 0), (k // 2 + 1, k // 2)), mode="edge")
+    cs = jnp.cumsum(Cp, axis=2)
+    C = cs[:, :, k:] - cs[:, :, :-k]
+    # Softmin over the displacement axis. tau ~ the SAD of a few intensity
+    # units over the window localizes the weights to the cost basin.
+    Cmin = jnp.min(C, axis=0)
+    tau = 2.0 * float(k * k)
+    Wt = jnp.exp(-(C - Cmin[None]) / tau)
+    D = jnp.asarray(disps, jnp.float32)  # (Ndisp, 2) as (dx, dy)
+    denom = jnp.sum(Wt, axis=0) + 1e-12
+    fx = jnp.einsum("dhw,d->hw", Wt, D[:, 0]) / denom
+    fy = jnp.einsum("dhw,d->hw", Wt, D[:, 1]) / denom
+    flow = jnp.stack([fx, fy], axis=-1) * 2.0  # half-res disp -> full px
+    # Match confidence proxy: best aggregated SAD per pixel (normalized).
+    conf = Cmin / float(k * k)
+    return flow, conf
+
+
 @partial(jax.jit, static_argnames=("intr", "n_pts"))
 def recover_lines_by_flow(
     intr,
@@ -142,12 +207,14 @@ def recover_lines_by_flow(
     R_10: jnp.ndarray,  # (3, 3) rotation prior (cam1 <- cam0)
     n_pts: int = 16,
 ):
-    """Batched rotation-seeded LK line recovery: every unmatched segment of
-    the previous frame tracks into the current frame in ONE pyramidal-LK
-    call sharing the image pyramids (the reference loops
-    `optical_flow_line` per line with a fresh cv::calcOpticalFlowPyrLK
-    each, src/LSDmatcher.cpp:158-520; here all NL*n_pts sample points
-    solve their 2x2 systems together on the VPU).
+    """Batched line recovery by dense flow (reference: per-line
+    cv::calcOpticalFlowPyrLK in LSDmatcher::optical_flow_line,
+    src/LSDmatcher.cpp:158-520). Sample points along each unmatched
+    segment, displace them by the dense half-res flow field (see
+    `dense_flow_half` — the TPU-native replacement for scattered patch
+    LK), and refit a 2D line by weighted PCA. The +-2*search px range
+    absorbs the inter-frame rotation the reference handles with its
+    K R K^-1 warp seed; larger motions fail the fit/verification gates.
 
     Returns (q0 (NL, 2), q1 (NL, 2), ok (NL,)).
     """
@@ -158,8 +225,23 @@ def recover_lines_by_flow(
         + (p1_seg - p0_seg)[:, None, :] * ts[None, :, None]
     )  # (NL, P, 2)
     flat = pts.reshape(-1, 2)
-    guess = warp_points_by_rotation(intr, flat, R_10)
-    tracked, ok_pt = pyr_lk(img0, img1, flat, guess)
+    flow, conf = dense_flow_half(img0, img1)
+    half_xy = flat / 2.0
+    fx = bilinear_sample(flow[:, :, 0], half_xy)
+    fy = bilinear_sample(flow[:, :, 1], half_xy)
+    cf = bilinear_sample(conf, half_xy)
+    tracked = flat + jnp.stack([fx, fy], axis=1)
+    h, w = img0.shape
+    inb = (
+        (tracked[:, 0] >= 2.0) & (tracked[:, 0] < w - 2.0)
+        & (tracked[:, 1] >= 2.0) & (tracked[:, 1] < h - 2.0)
+    )
+    # Photometric agreement at the matched location (single-sample; the
+    # line-fit residual + the tracker's projection-vs-map verification are
+    # the load-bearing gates).
+    i0 = bilinear_sample(img0, flat)
+    i1 = bilinear_sample(img1, tracked)
+    ok_pt = inb & (jnp.abs(i0 - i1) < 24.0) & (cf < 20.0)
     tracked = tracked.reshape(NL, n_pts, 2)
     ok_pt = ok_pt.reshape(NL, n_pts) & seg_valid[:, None]
     # Weighted PCA line refit per segment (vectorized; same math as the

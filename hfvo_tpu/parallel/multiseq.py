@@ -19,7 +19,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import VOConfig
-from ..tracking.tracker import Tracker, TrackResult, TrackState, fused_track_step
+from ..tracking.tracker import (
+    Tracker,
+    TrackResult,
+    TrackState,
+    fused_out_meta,
+    fused_track_step,
+    lk_recover_program,
+)
+from ..utils import pack as pack_utils
 
 
 @dataclass
@@ -42,6 +50,10 @@ class BatchTracker:
             ),
             static_argnums=(),
         )
+        # LK line recovery stays a SEPARATE vmapped dispatch (inlining its
+        # patch gathers into the fused program triggers a serialized XLA
+        # lowering — see lk_recover_program).
+        self._vlk = jax.jit(jax.vmap(partial(lk_recover_program, self.cfg)))
 
     def track_batch(
         self,
@@ -76,7 +88,9 @@ class BatchTracker:
 
         if batch_ids:
             stacked = [jnp.stack(cols) for cols in zip(*per_seq_args)]
-            outs = jax.device_get(self._vstep(*stacked))
+            packed, _T_dev, _feed = self._vstep(*stacked)
+            meta = fused_out_meta(self.cfg, per_seq_args[0])
+            outs = pack_utils.unpack(jax.device_get(packed), meta, batch=True)
             for bi, s in enumerate(batch_ids):
                 tr = self.trackers[s]
                 out_s = jax.tree.map(lambda a: a[bi], outs)
@@ -174,37 +188,60 @@ class BatchTracker:
             for j, leaf in enumerate(a):
                 host_cols[j].append(leaf)
 
-        # Assemble the 24 batched leaves. Snapshot positions 2..12 come from
-        # the cached stacked device snapshot; pose positions 15/17 and the
-        # previous image 18 reuse in-flight device arrays when available.
+        # Assemble the batched leaves (host layout: 0-17 fused positions,
+        # 18-22 prev-line tail, 23 prev gray). Snapshot positions 2..12 come
+        # from the cached stacked device snapshot; pose positions 15/17 and
+        # the previous image reuse in-flight device arrays when available.
         snap_stack, _snap_pads = self._stacked_snapshot()
         gray_dev = jnp.asarray(np.stack(host_cols[0]))
-        leaves: list = [None] * 24
-        leaves[0] = gray_dev
-        leaves[1] = jnp.asarray(np.stack(host_cols[1]))
+        cols: dict = {}
+        cols[0] = gray_dev
+        cols[1] = jnp.asarray(np.stack(host_cols[1]))
         for j in range(11):
-            leaves[2 + j] = snap_stack[j]
-        for j in (13, 14, 16, 19, 20, 21, 22, 23):
-            leaves[j] = jnp.asarray(np.stack(host_cols[j]))
+            cols[2 + j] = snap_stack[j]
+        for j in (13, 14, 16, 18, 19, 20, 21, 22):
+            cols[j] = jnp.asarray(np.stack(host_cols[j]))
         if pend is None:
-            leaves[15] = jnp.asarray(np.stack(host_cols[15]))
-            leaves[17] = jnp.asarray(np.stack(host_cols[17]))
-            leaves[18] = jnp.asarray(np.stack(host_cols[18]))
+            cols[15] = jnp.asarray(np.stack(host_cols[15]))
+            cols[17] = jnp.asarray(np.stack(host_cols[17]))
+            prev_gray_dev = jnp.asarray(np.stack(host_cols[23]))
         else:
-            in_flight_T = pend["out"][0]  # (S, 4, 4) device
-            leaves[15] = in_flight_T
-            leaves[17] = in_flight_T
-            leaves[18] = pend["gray_dev"]
+            in_flight_T = pend["out"][1]  # (S, 4, 4) device pose output
+            cols[15] = in_flight_T
+            cols[17] = in_flight_T
+            prev_gray_dev = pend["gray_dev"]
 
+        # Chained LK dispatch feeding the fused step (no host sync).
+        if self.cfg.use_lines and self.cfg.lines.lk_recovery:
+            cand = jnp.asarray(
+                np.stack(host_cols[21]) & (np.stack(host_cols[22]) >= 0)
+            )
+            lk_q0, lk_q1, lk_fit = self._vlk(
+                cols[0], prev_gray_dev, cols[18], cols[19], cand,
+                cols[15], cols[16], cols[17],
+            )
+        else:
+            Ml = self.cfg.cap.lines
+            lk_q0 = jnp.zeros((S, Ml, 2), jnp.float32)
+            lk_q1 = jnp.zeros((S, Ml, 2), jnp.float32)
+            lk_fit = jnp.zeros((S, Ml), bool)
+
+        leaves = [cols[j] for j in range(18)] + [lk_q0, lk_q1, lk_fit] + [
+            cols[j] for j in range(18, 23)
+        ]
         out_dev = self._vstep(*leaves)
+        meta = fused_out_meta(
+            self.cfg,
+            [jax.ShapeDtypeStruct(l.shape[1:], l.dtype) for l in leaves],
+        )
         prev = pend
         self._pending = dict(
             out=out_dev, gray_dev=gray_dev, fids=fids, pads=pads,
-            gray_h=gray_h, depth_h=depth_h, poisoned=set(),
+            gray_h=gray_h, depth_h=depth_h, poisoned=set(), meta=meta,
         )
         if prev is None:
             return []
-        for leaf in jax.tree.leaves(prev["out"]):
+        for leaf in jax.tree.leaves(prev["out"][0]):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         return self._resolve_batch(prev)
@@ -217,7 +254,9 @@ class BatchTracker:
         return self._resolve_batch(prev)
 
     def _resolve_batch(self, p) -> List[TrackResult]:
-        outs = jax.device_get(p["out"])
+        outs = pack_utils.unpack(
+            jax.device_get(p["out"][0]), p["meta"], batch=True
+        )
         results: List[TrackResult] = []
         poisoned_next = []
         for s, tr in enumerate(self.trackers):

@@ -35,6 +35,7 @@ from ..ops import manhattan as manh_ops
 from ..ops import planes as plane_ops
 from ..ops import structural as struct_ops
 from ..solve.lm import DirObs, LineObs, PlaneObs, PoseObs, pose_optimization
+from ..utils import pack as pack_utils
 from ..vomap.map import VOMap
 from . import matcher
 from .frontend import FrameFeatures, extract_frame, extract_frame_jit
@@ -46,8 +47,7 @@ class TrackState(enum.Enum):
     LOST = 2
 
 
-@partial(jax.jit, static_argnames=("cfg", "radius", "check_octave"))
-def fused_track_step(
+def _fused_track_step_impl(
     cfg: VOConfig,
     gray_u8: jnp.ndarray,  # (H, W) uint8 — compact host->device upload
     depth_mm: jnp.ndarray,  # (H, W) uint16 millimeters
@@ -67,7 +67,11 @@ def fused_track_step(
     T_pred_a: jnp.ndarray,  # (4, 4) see below
     T_pred_b: jnp.ndarray,  # (4, 4)
     T_prev_cw: jnp.ndarray,  # (4, 4) previous frame's pose (device ok)
-    prev_gray_u8: jnp.ndarray,  # (H, W) previous frame intensity
+    lk_q0: jnp.ndarray,  # (Ml, 2) LK-recovered segment endpoints — computed
+    lk_q1: jnp.ndarray,  # by the SEPARATE `lk_recover_program` dispatch (its
+    lk_fit: jnp.ndarray,  # (Ml,) scattered-gather LK loops lower to a slow
+    # serialized path when inlined into this program; standalone they run in
+    # ~0.2 ms). Device arrays chain between the two dispatches with no sync.
     prev_p0: jnp.ndarray,  # (Ml, 2) previous frame's detected segments
     prev_p1: jnp.ndarray,
     prev_desc: jnp.ndarray,  # (Ml, D)
@@ -270,7 +274,6 @@ def fused_track_step(
         # LSDmatcher::SearchByGeomNApearance in TrackWithMotionModel,
         # src/LSDmatcher.cpp:36-156, src/Tracking.cc:2290).
         R_cl = T_pred[:3, :3] @ T_prev_cw[:3, :3].T
-        prev_gray = prev_gray_u8.astype(jnp.float32)
         w0 = lk_ops.warp_points_by_rotation(cfg.camera, prev_p0, R_cl)
         w1 = lk_ops.warp_points_by_rotation(cfg.camera, prev_p1, R_cl)
         f2f = matcher.search_lines_f2f(
@@ -301,10 +304,11 @@ def fused_track_step(
         prow_safe = jnp.maximum(prev_row, 0)
         if cfg.lines.lk_recovery:
             need = prev_lvalid & (prev_row >= 0) & ~row_matched[prow_safe]
-            q0, q1, rec_fit = lk_ops.recover_lines_by_flow(
-                cfg.camera, prev_gray, gray, prev_p0, prev_p1, need, R_cl,
-                n_pts=cfg.lines.lk_samples,
-            )
+            # LK itself ran in the separate `lk_recover_program` dispatch
+            # over ALL candidate segments (the batched op always computes
+            # every row and masks — applying the `need` gate here instead of
+            # there is numerically identical).
+            q0, q1, rec_fit = lk_q0, lk_q1, lk_fit
             # Verify against the projected map line in the predicted view
             # (reference gates on point-line distance + direction,
             # src/LSDmatcher.cpp:420-470).
@@ -445,6 +449,91 @@ def fused_track_step(
     return (
         opt.T_cw, opt.inlier, opt.n_inliers, pt_local, res.visible, feats,
         line_out, plane_out, manh_out, words,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "radius", "check_octave"))
+def fused_track_step(cfg: VOConfig, *args, radius: float = 15.0,
+                     check_octave: bool = True):
+    """Jitted per-frame program returning its result PACKED.
+
+    Returns (packed, T_cw, feed_dev):
+    - `packed`: the full structured result concatenated into one flat
+      buffer per dtype (utils/pack.py) — over an RTT-bound transport a
+      per-leaf `device_get` of the ~44-leaf tree costs ~44 round trips
+      (~75 ms measured) vs <= 4 for the packed form. Unpack on host with
+      `unpack(jax.device_get(packed), fused_out_meta(cfg, args, ...))`.
+    - `T_cw`: the pose as its own device array so the pipelined tracker can
+      chain the next frame's prediction on it without pulling anything.
+    - `feed_dev`: (p0, p1, desc, valid) of this frame's detected segments,
+      kept device-resident as the next frame's f2f/LK feed (saves the
+      re-upload).
+    """
+    out = _fused_track_step_impl(
+        cfg, *args, radius=radius, check_octave=check_octave
+    )
+    packed = pack_utils.pack(out)
+    line_out = out[6]
+    feed_dev = ()
+    if line_out is not None:
+        lf = line_out[0]
+        feed_dev = (lf.p0, lf.p1, lf.desc, lf.valid)
+    return packed, out[0], feed_dev
+
+
+_FUSED_META: dict = {}
+
+
+def fused_out_meta(cfg: VOConfig, args, radius: float = 15.0,
+                   check_octave: bool = True):
+    """Static (treedef, leaf spec) of the UNPACKED fused result, for
+    `unpack`. Cached per (cfg, arg shapes)."""
+    key = (
+        cfg, radius, check_octave,
+        tuple((tuple(a.shape), str(a.dtype)) for a in args),
+    )
+    m = _FUSED_META.get(key)
+    if m is None:
+        sh = jax.eval_shape(
+            partial(
+                _fused_track_step_impl, cfg,
+                radius=radius, check_octave=check_octave,
+            ),
+            *args,
+        )
+        m = pack_utils.tree_spec(sh)
+        _FUSED_META[key] = m
+    return m
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lk_recover_program(
+    cfg: VOConfig,
+    gray_any: jnp.ndarray,  # (H, W) current frame (uint8 or float32)
+    prev_gray_u8: jnp.ndarray,  # (H, W) previous frame intensity
+    prev_p0: jnp.ndarray,  # (Ml, 2) previous frame's detected segments
+    prev_p1: jnp.ndarray,
+    cand: jnp.ndarray,  # (Ml,) segments worth tracking (valid & has row)
+    T_pred_a: jnp.ndarray,  # (4, 4) pose prediction factors (see
+    T_pred_b: jnp.ndarray,  # fused_track_step: T_pred = a @ b @ a)
+    T_prev_cw: jnp.ndarray,  # (4, 4)
+):
+    """Manhattan/rotation-seeded LK line recovery as its OWN device program
+    (reference: LSDmatcher::optical_flow_line, src/LSDmatcher.cpp:158-520).
+
+    Deliberately dispatched separately from `fused_track_step`: inlined into
+    the big program, XLA lowers the LK patch gathers to a serialized path
+    (~75 ms per 921k-element gather — measured 1.3 s/frame total); as a
+    standalone program the same op runs in ~0.2 ms. The outputs chain into
+    the fused step as device arrays, so splitting adds no host sync."""
+    T_pred = T_pred_a @ T_pred_b @ T_pred_a
+    R_cl = T_pred[:3, :3] @ T_prev_cw[:3, :3].T
+    return lk_ops.recover_lines_by_flow(
+        cfg.camera,
+        prev_gray_u8.astype(jnp.float32),
+        gray_any.astype(jnp.float32),
+        prev_p0, prev_p1, cand, R_cl,
+        n_pts=cfg.lines.lk_samples,
     )
 
 
@@ -696,7 +785,7 @@ class Tracker:
             # the dispatch asynchronous, and composing T_prev inv(T_pp)
             # T_prev inside the program avoids per-frame eager device ops
             # (each would be its own execution over the tunnel).
-            T_pred = self._pending["out"][0]
+            T_pred = self._pending["out"][1]  # in-flight device pose
             T_pred_b = np.linalg.inv(self.T_cw).astype(np.float32)
         args = self.prepare_step_args(gray_u8, depth_u16, T_pred, T_pred_b)
         out_dev = fused_track_step(self.cfg, *args)
@@ -704,14 +793,15 @@ class Tracker:
         self._pending = dict(
             out=out_dev, fid=fid, gray=gray_u8, depth=depth_u16,
             pads=self._pads,
+            meta=fused_out_meta(self.cfg, args),
         )
         if prev is None:
             return []
-        # Start moving the previous result to the host asynchronously —
-        # by the time _resolve_pending blocks on it, the transfer (and
-        # usually the compute) has already happened under the new frame's
-        # dispatch, so the blocking get pays no extra round trip.
-        for leaf in jax.tree.leaves(prev["out"]):
+        # Start moving the previous PACKED result to the host asynchronously
+        # (not the pose/feed device arrays — those stay on device) — by the
+        # time _resolve_pending blocks on it, the transfer (and usually the
+        # compute) has already happened under the new frame's dispatch.
+        for leaf in jax.tree.leaves(prev["out"][0]):
             if hasattr(leaf, "copy_to_host_async"):
                 leaf.copy_to_host_async()
         return self._resolve_pending(prev)
@@ -729,8 +819,9 @@ class Tracker:
         self.frame_id = p["fid"]
         try:
             self._pads = p["pads"]  # pad maps as of this frame's dispatch
-            out_host = jax.device_get(p["out"])
-            five = self.finish_step(out_host, gray=p["gray"])
+            packed, _T_dev, feed_dev = p["out"]
+            out_host = pack_utils.unpack(jax.device_get(packed), p["meta"])
+            five = self.finish_step(out_host, gray=p["gray"], feed_dev=feed_dev)
             res = self._post_track(five, p["gray"], p["depth"])
         finally:
             self.frame_id = saved_fid
@@ -915,16 +1006,18 @@ class Tracker:
         src/Tracking.cc:2251, :2816) — all in one fused device call."""
         t0 = time.perf_counter()
         args = self.prepare_step_args(gray, depth, T_pred)
-        out_device = fused_track_step(
+        packed, _T_dev, feed_dev = fused_track_step(
             self.cfg, *args, radius=radius, check_octave=check_octave
         )
-        # ONE synchronization point per frame: pull the entire result pytree
-        # (pose, matches, features, line/plane outputs) in a single
-        # device_get — the tunnel RTT dominates, so serial per-array pulls
-        # cost ~25 ms each while the whole ~150 KB batch costs one RTT.
-        out_host = jax.device_get(out_device)
+        # ONE synchronization point per frame: pull the packed result
+        # (<= 4 dtype buffers — per-leaf pulls of the ~44-leaf tree would
+        # cost a round trip each over the tunnel) and rebuild the tree.
+        out_host = pack_utils.unpack(
+            jax.device_get(packed),
+            fused_out_meta(self.cfg, args, radius, check_octave),
+        )
         self._stage("fused_step", time.perf_counter() - t0)
-        return self.finish_step(out_host, gray=gray)
+        return self.finish_step(out_host, gray=gray, feed_dev=feed_dev)
 
     def prepare_step_args(self, gray, depth, T_pred, T_pred_b=None,
                           T_prev=None):
@@ -956,29 +1049,49 @@ class Tracker:
         # (the snapshot may have been rebuilt since the feed was captured).
         p0_h, p1_h, desc_h, valid_h, prev_row_h, gray_h = self._prev_feed_host(lpad)
         feed = self._prev_line_feed
-        if feed is not None and self.cfg.use_lines:
-            prev_args = (
+        dev = feed.get("dev") if feed else None
+        if dev:
+            # Device-resident segment feed from the previous fused step: no
+            # re-upload of p0/p1/desc/valid.
+            p0_d, p1_d, desc_d, valid_d = dev
+        else:
+            p0_d = jnp.asarray(p0_h)
+            p1_d = jnp.asarray(p1_h)
+            desc_d = jnp.asarray(desc_h)
+            valid_d = jnp.asarray(valid_h)
+        T_pred_b_d = jnp.asarray(T_pred_b)
+        # LK line recovery runs as its own chained device dispatch (see
+        # lk_recover_program); zeros when the channel is off or unseeded.
+        if (
+            feed is not None
+            and self.cfg.use_lines
+            and self.cfg.lines.lk_recovery
+        ):
+            prev_gray_d = (
                 feed["gray"] if isinstance(feed["gray"], jax.Array)
-                else jnp.asarray(gray_h),
-                jnp.asarray(p0_h), jnp.asarray(p1_h),
-                jnp.asarray(desc_h), jnp.asarray(valid_h),
-                jnp.asarray(prev_row_h),
+                else jnp.asarray(gray_h)
+            )
+            lk_q0, lk_q1, lk_fit = lk_recover_program(
+                self.cfg, gray, prev_gray_d, p0_d, p1_d,
+                jnp.asarray(valid_h & (prev_row_h >= 0)),
+                T_pred, T_pred_b_d, T_prev,
             )
         else:
-            prev_args = (
-                jnp.zeros_like(gray),
-                jnp.asarray(p0_h), jnp.asarray(p1_h),
-                jnp.asarray(desc_h), jnp.asarray(valid_h),
-                jnp.asarray(prev_row_h),
-            )
+            Ml = p0_h.shape[0]
+            lk_q0 = jnp.zeros((Ml, 2), jnp.float32)
+            lk_q1 = jnp.zeros((Ml, 2), jnp.float32)
+            lk_fit = jnp.zeros((Ml,), bool)
         return (
             gray, depth, mX, mdesc, mvalid, moct, mangle,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
             jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
             T_pred,
-            jnp.asarray(T_pred_b),
+            T_pred_b_d,
             T_prev,
-            *prev_args,
+            lk_q0, lk_q1, lk_fit,
+            p0_d, p1_d,
+            desc_d, valid_d,
+            jnp.asarray(prev_row_h),
         )
 
     def _prev_feed_host(self, lpad):
@@ -1026,6 +1139,10 @@ class Tracker:
         p0_h, p1_h, desc_h, valid_h, prev_row_h, gray_h = self._prev_feed_host(lpad)
         if np.asarray(gray_h).dtype != np.uint8:
             gray_h = np.zeros_like(np.asarray(gray_u8))
+        # Leaves 0-17 match fused_track_step positions; 18-22 are the
+        # prev-line-feed tail (fused positions 21-25 after the 3 LK leaves
+        # the batch runner inserts); 23 is the previous gray frame for the
+        # runner's vmapped lk_recover_program dispatch.
         return (
             gray_u8, depth_u16, mX, mdesc, mvalid, moct, mangle,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
@@ -1033,13 +1150,16 @@ class Tracker:
             np.asarray(T_pred, np.float32),
             np.asarray(T_pred_b, np.float32),
             np.asarray(T_prev, np.float32),
-            np.asarray(gray_h), p0_h, p1_h, desc_h, valid_h, prev_row_h,
+            p0_h, p1_h, desc_h, valid_h, prev_row_h,
+            np.asarray(gray_h),
         )
 
-    def finish_step(self, out_host, gray=None):
+    def finish_step(self, out_host, gray=None, feed_dev=None):
         """Host bookkeeping for one pulled step result. `gray` is the
         device-resident uint8 frame, kept as the LK source for the next
-        frame's line-recovery channel."""
+        frame's line-recovery channel; `feed_dev` the device-resident
+        (p0, p1, desc, valid) segment feed from the fused program (saves
+        the next frame's re-upload)."""
         pad, lpad = self._pads
         (
             T_new, inlier, n_in, pt_local, visible, feats, line_out, plane_out,
@@ -1089,6 +1209,7 @@ class Tracker:
                     p0=np.asarray(lf.p0), p1=np.asarray(lf.p1),
                     desc=np.asarray(lf.desc), valid=np.asarray(lf.valid),
                     gid=ln_per_seg.copy(),
+                    dev=feed_dev if feed_dev else None,
                 )
 
         self._last_plane_out = None

@@ -95,3 +95,54 @@ def test_recover_line_by_flow(rng):
     n /= np.linalg.norm(n, axis=1, keepdims=True) + 1e-9
     perp = np.abs((n * (mid[None, :] - p0_1)).sum(1))
     assert perp.min() < 3.0, f"recovered line {perp.min():.1f}px from nearest detection"
+
+
+def test_dense_flow_translation(rng):
+    """Dense cost-volume flow recovers a uniform translation (the TPU-native
+    replacement for scattered-gather pyramidal LK on the batched path)."""
+    img0 = textured(rng, h=240, w=320)
+    dx, dy = 8.0, -6.0
+    img1 = np.roll(np.roll(img0, int(dy), axis=0), int(dx), axis=1)
+    flow, conf = lk.dense_flow_half(jnp.asarray(img0), jnp.asarray(img1))
+    f = np.asarray(flow)[20:100, 20:140]  # interior
+    np.testing.assert_allclose(np.median(f[..., 0]), dx, atol=0.6)
+    np.testing.assert_allclose(np.median(f[..., 1]), dy, atol=0.6)
+
+
+def test_recover_lines_by_flow_batched(rng):
+    """Batched dense-flow line recovery lands segments on the rendered
+    stripes across a small rotation (live-tracker path)."""
+    from hfvo_tpu.geometry import se3
+    from hfvo_tpu.ops import lines
+
+    scene = synthetic.make_room(0)
+    T0 = np.eye(4, dtype=np.float32)
+    T0[:3, 3] = [0, 0, -0.8]
+    R = np.asarray(se3.exp_so3(jnp.array([0.0, 0.03, 0.0])))
+    T1 = T0.copy()
+    T1[:3, :3] = T0[:3, :3] @ R
+    g0, _ = synthetic.render_jit(scene, INTR, jnp.asarray(T0))
+    g1, _ = synthetic.render_jit(scene, INTR, jnp.asarray(T1))
+    lf0 = lines.detect_lines(g0)
+    valid = jnp.asarray(lf0.valid)
+    q0, q1, ok = lk.recover_lines_by_flow(
+        INTR, g0, g1, lf0.p0, lf0.p1, valid,
+        jnp.asarray(R.T.astype(np.float32)), n_pts=16,
+    )
+    ok = np.asarray(ok)
+    assert ok.sum() >= 0.5 * np.asarray(valid).sum(), (
+        ok.sum(), np.asarray(valid).sum())
+    # Each recovered segment should lie near a detected frame-1 line.
+    lf1 = lines.detect_lines(g1)
+    v1 = np.asarray(lf1.valid)
+    p0_1, p1_1 = np.asarray(lf1.p0)[v1], np.asarray(lf1.p1)[v1]
+    d = p1_1 - p0_1
+    n = d[:, ::-1] * np.array([-1.0, 1.0])
+    n = n / (np.linalg.norm(n, axis=1, keepdims=True) + 1e-9)
+    mids = 0.5 * (np.asarray(q0)[ok] + np.asarray(q1)[ok])
+    perp = np.abs(
+        np.einsum("mc,nc->mn", mids, n)
+        - np.einsum("nc,nc->n", p0_1, n)[None, :]
+    )
+    near = perp.min(axis=1)
+    assert np.median(near) < 3.0, np.median(near)

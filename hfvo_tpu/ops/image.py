@@ -105,13 +105,19 @@ def extract_patches(
     """
     size = 2 * radius + 1
     h, w = img.shape
-    y0 = jnp.clip(centers_yx[:, 0] - radius, 0, h - size)
-    x0 = jnp.clip(centers_yx[:, 1] - radius, 0, w - size)
-
-    def one(y, x):
-        return jax.lax.dynamic_slice(img, (y, x), (size, size))
-
-    return jax.vmap(one)(y0.astype(jnp.int32), x0.astype(jnp.int32))
+    y0 = jnp.clip(centers_yx[:, 0] - radius, 0, h - size).astype(jnp.int32)
+    x0 = jnp.clip(centers_yx[:, 1] - radius, 0, w - size).astype(jnp.int32)
+    # One-hot matmul extraction: vmapped dynamic_slice lowers to a
+    # SEQUENTIAL per-point while loop on TPU (~2-4 us/iteration — ~8 ms per
+    # frame over the ORB pyramid), while two one-hot contractions ride the
+    # MXU. f32 keeps exact pixel values through the selection.
+    span = jnp.arange(size, dtype=jnp.int32)
+    ys = y0[:, None] + span  # (N, size)
+    xs = x0[:, None] + span
+    oh_y = (ys[:, :, None] == jnp.arange(h, dtype=jnp.int32)).astype(img.dtype)
+    rows = jnp.einsum("nrh,hw->nrw", oh_y, img)  # (N, size, W)
+    oh_x = (xs[:, :, None] == jnp.arange(w, dtype=jnp.int32)).astype(img.dtype)
+    return jnp.einsum("nrw,ncw->nrc", rows, oh_x)
 
 
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

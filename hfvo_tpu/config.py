@@ -153,6 +153,10 @@ class TrackingConfig:
     # Two-view line triangulation with third-view verification (reference:
     # LocalMapping::CreateNewMapLinesConstraint, src/LocalMapping.cc:1064).
     triangulate_new_lines: bool = True
+    # Optional static feature mask (PNG, nonzero = usable) excluding
+    # known-dynamic regions from point/line features (reference loads
+    # ./masks/mask.png at startup, src/Tracking.cc:82-86).
+    static_mask_path: str | None = None
 
 
 @dataclass(frozen=True)

@@ -90,10 +90,23 @@ def config_from_yaml(path: str) -> VOConfig:
         association_ang_ref=g("Plane.AssociationAngRef", 0.2618),
     )
     fps = g("Camera.fps", 30.0)
+    mask_path = kv.get("Mask.path")
+    if isinstance(mask_path, str):
+        import os
+
+        if not os.path.exists(mask_path):
+            mask_path = None
+    else:
+        # Reference behavior: a ./masks/mask.png next to the working dir is
+        # picked up automatically when present (src/Tracking.cc:82-86).
+        mask_path = "./masks/mask.png" if __import__("os").path.exists(
+            "./masks/mask.png"
+        ) else None
     tracking = TrackingConfig(
         th_depth=g("ThDepth", 40.0),
         depth_map_factor=g("DepthMapFactor", 5000.0),
         max_frames_between_kf=int(fps) if fps > 0 else 30,
+        static_mask_path=mask_path,
     )
     return VOConfig(
         camera=cam,

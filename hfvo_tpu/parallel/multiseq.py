@@ -226,9 +226,14 @@ class BatchTracker:
             lk_q1 = jnp.zeros((S, Ml, 2), jnp.float32)
             lk_fit = jnp.zeros((S, Ml), bool)
 
+        # Cached stacked static mask (device-resident, built once).
+        if getattr(self, "_mask_stack", None) is None:
+            self._mask_stack = jnp.stack(
+                [tr._mask_dev for tr in self.trackers]
+            )
         leaves = [cols[j] for j in range(18)] + [lk_q0, lk_q1, lk_fit] + [
             cols[j] for j in range(18, 23)
-        ]
+        ] + [self._mask_stack]
         out_dev = self._vstep(*leaves)
         meta = fused_out_meta(
             self.cfg,

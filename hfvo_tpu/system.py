@@ -112,8 +112,11 @@ class VOSystem:
 
     def reset(self) -> None:
         """Full reset (reference: System::Reset -> Tracking::Reset,
-        src/Tracking.cc:3923: clear map, database, counters)."""
-        self.tracker = Tracker(self.cfg, use_local_ba=self.tracker.use_local_ba)
+        src/Tracking.cc:3923: clear map, database, counters). In-place so
+        compiled device programs stay warm."""
+        self.tracker.reset()
+        self.tracker._traj_rel = []
+        self.tracker.frame_id = -1
         self.timestamps = []
         self.times = StageTimes()
 

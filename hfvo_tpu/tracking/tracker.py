@@ -78,6 +78,9 @@ def _fused_track_step_impl(
     prev_lvalid: jnp.ndarray,  # (Ml,)
     prev_row: jnp.ndarray,  # (Ml,) prev segment's map-line row in the
     # CURRENT snapshot (-1 = none) — host remaps global ids at dispatch
+    static_mask: jnp.ndarray = None,  # (H, W) bool, True = usable region
+    # (reference: the ./masks/mask.png feature mask, src/Tracking.cc:82-86);
+    # device-resident, uploaded once at tracker construction
     radius: float = 15.0,
     check_octave: bool = True,
 ):
@@ -152,6 +155,12 @@ def _fused_track_step_impl(
         w_axis = jnp.where(ax_anchor_ok, w_sat, 0.0)
 
     feats = extract_frame(gray, depth, cfg)
+    if static_mask is not None and cfg.tracking.static_mask_path is not None:
+        # Exclude features in masked (dynamic) regions, like the reference's
+        # detector mask (src/Tracking.cc:82-86 + the mask arg to ORB detect).
+        mu = jnp.clip(feats.uv[:, 0].astype(jnp.int32), 0, gray.shape[1] - 1)
+        mv = jnp.clip(feats.uv[:, 1].astype(jnp.int32), 0, gray.shape[0] - 1)
+        feats = feats._replace(valid=feats.valid & static_mask[mv, mu])
     # BoW word ids ride along in the fused program (reference computes BoW
     # on keyframe insertion, src/LocalMapping.cc:185; computing them here is
     # ~free on-device and saves the keyframe path a separate dispatch+pull
@@ -211,6 +220,11 @@ def _fused_track_step_impl(
 
     if cfg.use_lines:
         lf = line_ops.detect_lines(gray, capacity=cfg.cap.lines)
+        if static_mask is not None and cfg.tracking.static_mask_path is not None:
+            mid = 0.5 * (lf.p0 + lf.p1)
+            su = jnp.clip(mid[:, 0].astype(jnp.int32), 0, gray.shape[1] - 1)
+            sv = jnp.clip(mid[:, 1].astype(jnp.int32), 0, gray.shape[0] - 1)
+            lf = lf._replace(valid=lf.valid & static_mask[sv, su])
         l3d = line3d_ops.fit_lines_3d(
             depth, cfg.camera, lf.p0, lf.p1, lf.valid,
             min_valid=cfg.lines.min_valid_depth_samples,
@@ -591,11 +605,51 @@ class Tracker:
 
         self.loop_closer = LoopCloser(self.cfg, self.vomap)
         self.mapper._kf_db = self.kf_db
+        # Static feature mask, device-resident (uploaded once; reference
+        # loads ./masks/mask.png at startup, src/Tracking.cc:82-86).
+        H, W = self.cfg.camera.height, self.cfg.camera.width
+        if self.cfg.tracking.static_mask_path:
+            from PIL import Image
+
+            m = np.asarray(
+                Image.open(self.cfg.tracking.static_mask_path).convert("L")
+            )
+            if m.shape != (H, W):
+                m = np.asarray(
+                    Image.fromarray(m).resize((W, H), Image.NEAREST)
+                )
+            self._mask_dev = jnp.asarray(m > 0)
+        else:
+            self._mask_dev = jnp.ones((H, W), bool)
         # Per-frame (ref_kf_slot, T_cr) for keyframe-relative trajectory
         # chaining (reference: System::SaveTrajectoryTUM, src/System.cc:346:
         # each frame stores its pose relative to a reference keyframe so that
         # later BA corrections propagate to the whole trajectory).
         self._traj_rel: list = []
+
+    def reset(self) -> None:
+        """Full in-place reset: clear the map, database, Manhattan frame and
+        tracking state, keeping compiled programs warm (reference:
+        Tracking::Reset, src/Tracking.cc:3923 — clear map + KF database +
+        counters). The trajectory log survives so saved trajectories still
+        cover pre-reset frames (their poses freeze at the last estimates)."""
+        # Materialize pre-reset trajectory entries into absolute poses
+        # against the OLD map before it is dropped (their reference KF
+        # slots would otherwise dangle into the new empty map).
+        kf = self.vomap.keyframes
+        frozen = [
+            (-1, T_cr if ref < 0 else (T_cr @ kf.T_cw[ref]).astype(np.float32))
+            for ref, T_cr in self._traj_rel
+        ]
+        saved_stages = self.stage_times
+        fid = self.frame_id
+        self.state = TrackState.NOT_INITIALIZED
+        self.last_kf_frame = -1
+        self.n_matches_ref_kf = 0
+        self.__post_init__()
+        self._traj_rel = frozen
+        self.frame_id = fid
+        self.stage_times = saved_stages
 
     def _stage(self, name: str, dt: float) -> None:
         acc = self.stage_times.get(name)
@@ -737,6 +791,11 @@ class Tracker:
                 self.invalidate_map_snapshot()
         else:
             self.state = TrackState.LOST
+            # Auto-reset on early loss: with <= 5 keyframes the infant map
+            # is unrecoverable junk — rebuild from scratch instead of trying
+            # to relocalize against it (reference: Tracking.cc:918-926).
+            if self.vomap.n_keyframes() <= 5:
+                self.reset()
         self._record_trajectory()
         return TrackResult(self.state, self.T_cw.copy(), n_matches, is_kf)
 
@@ -1092,6 +1151,7 @@ class Tracker:
             p0_d, p1_d,
             desc_d, valid_d,
             jnp.asarray(prev_row_h),
+            self._mask_dev,
         )
 
     def _prev_feed_host(self, lpad):

@@ -62,10 +62,14 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed) -> float:
     # remote-compile tunnel.
     for i in range(n_warm):
         tracker.track_rgbd(grays[i], depths[i], T_cw_init=np.linalg.inv(T_wc[0]))
-    g0 = jnp.asarray(np.asarray(grays[0]).astype(np.float32))
-    d0 = jnp.asarray(np.asarray(depths[0]).astype(np.float32))
+    # Warm the fallback variants with the PRODUCTION signatures (compact
+    # uint8 gray + possibly half-res uint16 depth) — a float32 warmup
+    # compiles a different program and the first real fallback then pays a
+    # 10+ s compile mid-run.
+    g0 = jnp.asarray(np.clip(np.asarray(grays[0]), 0, 255).astype(np.uint8))
+    d0 = jnp.asarray(tracker._depth_host_u16(np.asarray(depths[0])))
     tracker._track_local_map(
-        grays[0], depths[0], tracker.T_cw, radius=50.0, check_octave=False
+        g0, d0, tracker.T_cw, radius=50.0, check_octave=False
     )
     tracker._relocalize(g0, d0)
     from hfvo_tpu.solve.pnp import pnp_ransac

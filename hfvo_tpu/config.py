@@ -157,6 +157,12 @@ class TrackingConfig:
     # known-dynamic regions from point/line features (reference loads
     # ./masks/mask.png at startup, src/Tracking.cc:82-86).
     static_mask_path: str | None = None
+    # Upload depth at half resolution (uint16, 4x fewer bytes) and
+    # nearest-upsample on device. Host->device bandwidth is the per-frame
+    # bottleneck on RTT/bandwidth-bound transports; depth consumers
+    # (keypoint depth, stride-8 normals, plane segmentation, line fits)
+    # tolerate the 1-px quantization (chi2/RANSAC gates absorb edge cases).
+    depth_half_upload: bool = True
 
 
 @dataclass(frozen=True)

@@ -114,10 +114,10 @@ def _tile_hough(gray: jnp.ndarray, mag_th: float):
     # computed against the TARGET row's theta — identical semantics to the
     # original scatter formulation.
     rho_iota = jnp.arange(N_RHO, dtype=jnp.int32)
-    rows = []
-    for t in range(N_THETA):
-        th = float((t + 0.5) / N_THETA * np.pi)
-        rho = xl * np.cos(th) + yl * np.sin(th)
+
+    def vote_row(_, t):
+        th = (t.astype(jnp.float32) + 0.5) / N_THETA * jnp.pi
+        rho = xl * jnp.cos(th) + yl * jnp.sin(th)
         rb = jnp.clip(
             ((rho / diag + 1.0) * 0.5 * N_RHO).astype(jnp.int32), 0, N_RHO - 1
         )
@@ -127,8 +127,12 @@ def _tile_hough(gray: jnp.ndarray, mag_th: float):
             + 0.5 * (theta_bin == (t + 1) % N_THETA).astype(jnp.float32)
         )
         onehot = (rb[:, :, None] == rho_iota).astype(jnp.float32)
-        rows.append(jnp.einsum("tp,tpb->tb", wt, onehot))
-    acc = jnp.stack(rows, axis=1)  # (T, N_THETA, N_RHO)
+        return None, jnp.einsum("tp,tpb->tb", wt, onehot)
+
+    # lax.scan over theta rows: traces the row computation ONCE (an
+    # unrolled 36-way loop bloats the fused program's HLO and compile).
+    _, rows = jax.lax.scan(vote_row, None, jnp.arange(N_THETA))
+    acc = rows.transpose(1, 0, 2)  # (T, N_THETA, N_RHO)
     origins = jnp.stack([ox, oy], axis=1)
     return acc, origins, gx, gy, mag, normal_ang
 

@@ -185,13 +185,13 @@ def dense_flow_half(
     # Streaming softmin over the displacement axis, one dy-row of the cost
     # volume at a time: the full (2s+1)^2-slice volume never materializes
     # (4x less HBM traffic than volume + separate softmin passes), with the
-    # standard running-max (here running-min) correction.
-    M = jnp.full((h, w), 1e30)
-    S0 = jnp.zeros((h, w))
-    Sx = jnp.zeros((h, w))
-    Sy = jnp.zeros((h, w))
-    for dy in range(-search, search + 1):
-        band = jax.lax.dynamic_slice(pad, (search + dy, 0), (h, w + 2 * search))
+    # standard running-max (here running-min) correction. lax.scan over dy
+    # traces the band computation once (unrolling bloats the HLO).
+    def dy_step(carry, dy):
+        M, S0, Sx, Sy = carry
+        band = jax.lax.dynamic_slice(
+            pad, (search + dy, 0), (h, w + 2 * search)
+        )
         C = jnp.stack(
             [
                 jnp.abs(a - jax.lax.dynamic_slice(band, (0, search + dx), (h, w)))
@@ -205,8 +205,16 @@ def dense_flow_half(
         Wt = jnp.exp(-(C - M_new[None]) / tau)
         S0 = S0 * scale + jnp.sum(Wt, axis=0)
         Sx = Sx * scale + jnp.einsum("dhw,d->hw", Wt, dxs)
-        Sy = Sy * scale + jnp.sum(Wt, axis=0) * float(dy)
-        M = M_new
+        Sy = Sy * scale + jnp.sum(Wt, axis=0) * dy.astype(jnp.float32)
+        return (M_new, S0, Sx, Sy), None
+
+    init = (
+        jnp.full((h, w), 1e30), jnp.zeros((h, w)),
+        jnp.zeros((h, w)), jnp.zeros((h, w)),
+    )
+    (M, S0, Sx, Sy), _ = jax.lax.scan(
+        dy_step, init, jnp.arange(-search, search + 1)
+    )
     fx = Sx / (S0 + 1e-12)
     fy = Sy / (S0 + 1e-12)
     flow = jnp.stack([fx, fy], axis=-1) * 2.0  # half-res disp -> full px

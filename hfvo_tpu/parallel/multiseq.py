@@ -78,9 +78,7 @@ class BatchTracker:
                 results[s] = tr.track_rgbd(gray_np, depth_np, T_cw_init=init)
                 continue
             gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
-            depth_u16 = jnp.asarray(
-                np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
-            )
+            depth_u16 = jnp.asarray(tr._depth_host_u16(depth_np))
             T_pred = tr.velocity @ tr.T_cw
             per_seq_args.append(tr.prepare_step_args(gray_u8, depth_u16, T_pred))
             batch_ids.append(s)
@@ -160,8 +158,8 @@ class BatchTracker:
             np.clip(np.asarray(g), 0, 255).astype(np.uint8) for g in grays
         ]
         depth_h = [
-            np.clip(np.asarray(d) * 1000.0, 0, 65535).astype(np.uint16)
-            for d in depths
+            self.trackers[s]._depth_host_u16(np.asarray(d))
+            for s, d in enumerate(depths)
         ]
         pend = getattr(self, "_pending", None)
         host_cols: List[list] = None  # type: ignore[assignment]

@@ -99,6 +99,10 @@ def _fused_track_step_impl(
     """
     gray = gray_u8.astype(jnp.float32)
     depth = depth_mm.astype(jnp.float32) * 1e-3
+    if depth.shape[0] == gray.shape[0] // 2:
+        # Half-resolution depth upload (see TrackingConfig.depth_half_upload):
+        # nearest-upsample on device so all consumers keep full-res geometry.
+        depth = jnp.repeat(jnp.repeat(depth, 2, axis=0), 2, axis=1)
     T_pred = T_pred_a @ T_pred_b @ T_pred_a
 
     R_cm_ref = None
@@ -551,6 +555,13 @@ def lk_recover_program(
     )
 
 
+@jax.jit
+def _depth_full_jit(depth_u16: jnp.ndarray) -> jnp.ndarray:
+    """uint16 mm (possibly half-res) -> float32 meters at full resolution."""
+    d = depth_u16.astype(jnp.float32) * 1e-3
+    return jnp.repeat(jnp.repeat(d, 2, axis=0), 2, axis=1)
+
+
 @dataclass
 class TrackResult:
     state: TrackState
@@ -572,6 +583,9 @@ class Tracker:
     frame_id: int = -1
     last_kf_frame: int = -1
     n_matches_ref_kf: int = 0
+    # Early-loss auto-reset (reference: Tracking.cc:918-926). Tests that
+    # exercise relocalization against an infant map disable it.
+    auto_reset: bool = True
 
     def __post_init__(self):
         self.vomap = VOMap(self.cfg)
@@ -683,9 +697,7 @@ class Tracker:
         # Compact uploads for the per-frame hot path: uint8 intensity +
         # uint16 millimeter depth (3.5x less tunnel traffic than float32).
         gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
-        depth_u16 = jnp.asarray(
-            np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
-        )
+        depth_u16 = jnp.asarray(self._depth_host_u16(depth_np))
 
         if self.state is TrackState.NOT_INITIALIZED:
             gray_f = jnp.asarray(gray_np.astype(np.float32))
@@ -794,7 +806,7 @@ class Tracker:
             # Auto-reset on early loss: with <= 5 keyframes the infant map
             # is unrecoverable junk — rebuild from scratch instead of trying
             # to relocalize against it (reference: Tracking.cc:918-926).
-            if self.vomap.n_keyframes() <= 5:
+            if self.auto_reset and self.vomap.n_keyframes() <= 5:
                 self.reset()
         self._record_trajectory()
         return TrackResult(self.state, self.T_cw.copy(), n_matches, is_kf)
@@ -831,9 +843,7 @@ class Tracker:
         gray_np = np.asarray(gray)
         depth_np = np.asarray(depth)
         gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
-        depth_u16 = jnp.asarray(
-            np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
-        )
+        depth_u16 = jnp.asarray(self._depth_host_u16(depth_np))
 
         if self._pending is None:
             T_pred = (self.velocity @ self.T_cw).astype(np.float32)
@@ -998,6 +1008,13 @@ class Tracker:
         self._create_keyframe(feats, pt_per_kp)
         self.state = TrackState.OK
         self.last_kf_frame = self.frame_id
+
+    def _depth_host_u16(self, depth_np: np.ndarray) -> np.ndarray:
+        """Host-side compact depth encoding: uint16 millimeters, optionally
+        2x2-subsampled (TrackingConfig.depth_half_upload)."""
+        if self.cfg.tracking.depth_half_upload:
+            depth_np = depth_np[::2, ::2]
+        return np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
 
     def invalidate_map_snapshot(self):
         self._snap = None
@@ -1356,7 +1373,9 @@ class Tracker:
         """
         if gray.dtype == jnp.uint8:
             gray = gray.astype(jnp.float32)
-        if depth.dtype == jnp.uint16:
+        if depth.shape[0] == gray.shape[0] // 2:
+            depth = _depth_full_jit(depth)
+        elif depth.dtype == jnp.uint16:
             depth = depth.astype(jnp.float32) * 1e-3
         feats = extract_frame_jit(gray, depth, self.cfg)
         words = compute_words(feats.desc)
@@ -1408,7 +1427,9 @@ class Tracker:
         """One-shot world Manhattan axes from the frame's normals (+ line
         directions when available) (reference: Tracking::ExtractCoarseManhAx,
         src/Tracking.cc:533-585; retried per frame until success :644-650)."""
-        if depth.dtype == jnp.uint16:
+        if depth.shape[0] == self.cfg.camera.height // 2:
+            depth = _depth_full_jit(depth)
+        elif depth.dtype == jnp.uint16:
             depth = depth.astype(jnp.float32) * 1e-3
         normals, ok = plane_ops.compute_normals(depth, self.cfg.camera, stride=8)
         d = np.asarray(normals)[np.asarray(ok)]

@@ -47,7 +47,11 @@ def test_async_matches_sync():
 
 def test_async_recovers_from_poisoned_dispatch():
     T_wc, frames = _frames(12)
-    tr = Tracker(CFG, use_local_ba=False, use_loop_closing=False)
+    # auto_reset off: this test isolates the poisoned-dispatch re-track +
+    # relocalization path (the early-loss auto-reset has its own test in
+    # test_mask_reset.py).
+    tr = Tracker(CFG, use_local_ba=False, use_loop_closing=False,
+                 auto_reset=False)
     results = []
     for i, (g, d) in enumerate(frames):
         if i == 6:

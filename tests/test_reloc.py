@@ -57,7 +57,7 @@ def test_kidnapped_relocalization():
     view near the start: BoW reloc must recover the true pose."""
     cfg = tum3_config()
     T_wc, grays, depths = synthetic.render_sequence(n=12, seed=0)
-    tr = Tracker(cfg, use_local_ba=False)
+    tr = Tracker(cfg, use_local_ba=False, auto_reset=False)
     for i in range(8):
         tr.track_rgbd(grays[i], depths[i], T_cw_init=np.linalg.inv(T_wc[0]))
     assert tr.vomap.n_keyframes() >= 2

@@ -614,6 +614,7 @@ class Tracker:
         self.R_wm = np.eye(3, dtype=np.float32)
         self.manh_valid = False
         self._manh_fine_done = False
+        self._manh_fine_pending = None  # in-flight multiview_manh_init result
         self.kf_db = KeyFrameDatabase(self.cfg.cap.keyframes)
         from ..mapping.loop_closing import LoopCloser
 
@@ -1516,12 +1517,15 @@ class Tracker:
                 self._reanchor_trajectory([victim])
                 self.vomap.release_keyframe(victim)
                 self.kf_db.erase(victim)
+        t0 = time.perf_counter()
         uv = np.asarray(feats.uv)
         depth = np.asarray(feats.depth)
         desc = np.asarray(feats.desc)
         octave = np.asarray(feats.octave)
         valid = np.asarray(feats.valid)
         obs = np.asarray(feats.obs)
+        self._stage("kf_pull_feats", time.perf_counter() - t0)
+        t0 = time.perf_counter()
 
         new_mask = valid & (depth > 1e-3) & (pt_per_kp < 0)
         idx = np.nonzero(new_mask)[0]
@@ -1562,6 +1566,7 @@ class Tracker:
             obs, octave, desc, obs_valid,
             axes_c=axes_c, axes_sup=axes_sup, kp_valid=valid,
         )
+        self._stage("kf_points_add", time.perf_counter() - t0)
         # Appearance index for relocalization (reference: KeyFrameDatabase::add).
         # Words normally arrive with the fused-step result; the init path
         # (extract_frame_jit, no fused step) computes them here.
@@ -1573,11 +1578,22 @@ class Tracker:
         self.kf_db.add(kf_slot, bow_histogram_np(words, valid))
         self._stage("kf_bow", time.perf_counter() - t0)
 
+        t0 = time.perf_counter()
         if self.cfg.use_lines and self._last_line_out is not None:
             lf, l3d, ln_per_seg = self._last_line_out
             lvalid = np.asarray(lf.valid)
             v3d = np.asarray(l3d.valid)
-            line2d = np.asarray(lf.line2d)
+            # Host-side line coefficients: lf.line2d is a jnp property — on
+            # host-numpy endpoints it would run an eager device round-trip
+            # (~85 ms over the tunnel) per keyframe.
+            p0_np = np.asarray(lf.p0)
+            p1_np = np.asarray(lf.p1)
+            d_np = p1_np - p0_np
+            n_np = np.stack([-d_np[:, 1], d_np[:, 0]], axis=1)
+            n_np = n_np / (np.linalg.norm(n_np, axis=1, keepdims=True) + 1e-9)
+            line2d = np.concatenate(
+                [n_np, -np.sum(n_np * p0_np, axis=1, keepdims=True)], axis=1
+            ).astype(np.float32)
             ldesc = np.asarray(lf.desc)
             ln_per_seg = np.asarray(ln_per_seg).copy()
             new_mask = lvalid & v3d & (ln_per_seg < 0)
@@ -1609,7 +1625,7 @@ class Tracker:
             l_obs_valid = lvalid & (ln_per_seg >= 0)
             self.vomap.add_kf_line_obs(
                 kf_slot, ln_per_seg.astype(np.int32), line2d, l_obs_valid,
-                p0=np.asarray(lf.p0), p1=np.asarray(lf.p1),
+                p0=p0_np, p1=p1_np,
                 desc=ldesc, seg_valid=lvalid,
             )
             self.vomap.cull_lines(self.frame_id)
@@ -1620,6 +1636,8 @@ class Tracker:
                 and self._prev_line_feed.get("fid") == self.frame_id
             ):
                 self._prev_line_feed["gid"] = ln_per_seg.astype(np.int32).copy()
+        self._stage("kf_lines_add", time.perf_counter() - t0)
+        t0 = time.perf_counter()
 
         # Fine Manhattan initialization: Levenberg-Marquardt over three free
         # axis vectors against the accumulated map-line directions, a few
@@ -1629,6 +1647,16 @@ class Tracker:
         # orthonormalized; triggered 4 KFs after coarse init,
         # src/LocalMapping.cc:100-110). Each line weights by its observation
         # count, the multi-frame analog of per-KF edges.
+        # Resolve a fine init dispatched at an earlier keyframe: by now the
+        # async host copy has landed, so the pull is free (dispatching and
+        # pulling in the same call would stall ~40 ms on the transport).
+        if self._manh_fine_pending is not None:
+            R_new = np.asarray(self._manh_fine_pending)
+            self._manh_fine_pending = None
+            if np.isfinite(R_new).all():
+                self.R_wm = R_new.astype(np.float32)
+                self.mapper.R_wm = self.R_wm
+                self._manh_fine_done = True
         if (
             self.cfg.use_manhattan
             and self.manh_valid
@@ -1650,16 +1678,16 @@ class Tracker:
                 ).clip(1.0)
                 aidx = np.full((CAP,), -1, np.int32)
                 aidx[:n] = lt.manh_idx[lv][:n]
-                R_new, _cost = manh_ops.multiview_manh_init(
+                R_dev, _cost = manh_ops.multiview_manh_init(
                     jnp.asarray(self.R_wm), jnp.asarray(buf), jnp.asarray(wgt),
                     jnp.asarray(aidx),
                 )
-                R_new = np.asarray(R_new)
-                if np.isfinite(R_new).all():
-                    self.R_wm = R_new.astype(np.float32)
-                    self.mapper.R_wm = self.R_wm
-                    self._manh_fine_done = True
+                if hasattr(R_dev, "copy_to_host_async"):
+                    R_dev.copy_to_host_async()
+                self._manh_fine_pending = R_dev
 
+        self._stage("kf_manh_fine", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         if self.cfg.use_planes and self._last_plane_out is not None:
             seg, p_map_idx, p_kind, p_inlier = self._last_plane_out
             pvalid = np.asarray(seg.valid)
@@ -1695,6 +1723,9 @@ class Tracker:
             self.vomap.add_kf_plane_obs(kf_slot, plane_id, pi_obs, p_obs_valid)
             self.vomap.merge_planes()
 
+        self._stage("kf_planes_add", time.perf_counter() - t0)
+        t0 = time.perf_counter()
         self.last_kf_frame = self.frame_id
         self.n_matches_ref_kf = int(obs_valid.sum())
         self.vomap.cull_points(self.frame_id)
+        self._stage("kf_cull_points", time.perf_counter() - t0)

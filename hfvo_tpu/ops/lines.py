@@ -364,24 +364,18 @@ def band_descriptors(
     pts = base + n[:, None, None, :] * offs[None, :, None, None]
     xy = pts.reshape(-1, 2)
     h, w = gray.shape
-    xi = jnp.clip(xy[:, 0], 0, w - 1.001)
-    yi = jnp.clip(xy[:, 1], 0, h - 1.001)
-    x0 = jnp.floor(xi).astype(jnp.int32)
-    y0 = jnp.floor(yi).astype(jnp.int32)
-    fx = xi - x0
-    fy = yi - y0
-
-    def samp(img):
-        v = (
-            img[y0, x0] * (1 - fx) * (1 - fy)
-            + img[y0, x0 + 1] * fx * (1 - fy)
-            + img[y0 + 1, x0] * (1 - fx) * fy
-            + img[y0 + 1, x0 + 1] * fx * fy
-        )
-        return v.reshape(M, DESC_BANDS, DESC_SAMPLES)
-
-    gxs = samp(gx)
-    gys = samp(gy)
+    # Nearest-pixel sampling (the vendored LBD also reads integer pixel
+    # rows per band, binary_descriptor_custom.cpp). Bilinear here costs 4
+    # gathers per gradient image (~34 ms per batch-8 step, the second
+    # hottest op group in the fused program) for sub-half-pixel smoothing
+    # a band *mean* then averages away; one gather from the (H, W, 2)
+    # stacked gradients reads both channels per point.
+    xr = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yr = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    g2 = jnp.stack([gx, gy], axis=-1)  # (H, W, 2)
+    samples = g2[yr, xr]  # (M*B*S, 2) — one gather, two channels
+    gxs = samples[:, 0].reshape(M, DESC_BANDS, DESC_SAMPLES)
+    gys = samples[:, 1].reshape(M, DESC_BANDS, DESC_SAMPLES)
     g_par = gxs * u[:, 0, None, None] + gys * u[:, 1, None, None]
     g_perp = gxs * n[:, 0, None, None] + gys * n[:, 1, None, None]
     feats = jnp.stack(

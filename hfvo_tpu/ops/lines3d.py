@@ -20,6 +20,8 @@ import numpy as np
 
 from ..geometry.camera import Intrinsics
 
+from . import sym_eig
+
 S_SAMPLES = 20  # depth samples per segment (reference: Frame.cc:1211)
 N_HYP = 24  # RANSAC hypotheses per line
 
@@ -98,7 +100,7 @@ def fit_lines_3d(
     Xc = X - c[:, None, :]
     cov = jnp.einsum("msi,ms,msj->mij", Xc, wgt, Xc) / sw[..., None]
     # Principal direction from the symmetric 3x3 eigendecomposition.
-    evals, evecs = jnp.linalg.eigh(cov + 1e-12 * jnp.eye(3))
+    evals, evecs = sym_eig.eigh3(cov + 1e-12 * jnp.eye(3))
     u = evecs[..., -1]  # (M, 3) largest-eigenvalue direction
 
     along = jnp.einsum("msi,mi->ms", Xc, u)  # (M, S)

@@ -43,6 +43,42 @@ def _make_pattern(seed: int = 42, n_bits: int = 256) -> np.ndarray:
 
 BRIEF_PATTERN = _make_pattern()
 
+# Steered BRIEF via quantized rotations, as in the ORB paper ("we discretize
+# the angle to increments of 2pi/30 and construct a lookup table of
+# precomputed BRIEF patterns"; the reference rotates per keypoint at
+# descriptor time, src/ORBextractor.cc:110-121). On TPU the lookup table
+# becomes a bank of {-1,0,+1} difference matrices so the per-keypoint
+# "gather 512 rotated samples" turns into one MXU matmul plus a one-hot
+# bin selection — a per-element gather over 31x31 patches costs ~50 ms per
+# batch-8 frame step, the matmul form ~2 ms.
+N_ANGLE_BINS = 32
+
+
+def _make_bin_diff_mats() -> np.ndarray:
+    """(N_ANGLE_BINS, 961, 256) float32: column j of bank b holds +1 at the
+    rotated-and-rounded patch index of pattern point 2 and -1 at point 1,
+    so patch_flat @ W_b = (v2 - v1) for every pair under rotation bin b."""
+    side = 2 * PATCH_R + 1
+    out = np.zeros((N_ANGLE_BINS, side * side, 256), np.float32)
+    j = np.arange(256)
+    for b in range(N_ANGLE_BINS):
+        th = 2.0 * np.pi * b / N_ANGLE_BINS
+        ca, sa = np.cos(th), np.sin(th)
+        x1 = BRIEF_PATTERN[:, 0] * ca - BRIEF_PATTERN[:, 1] * sa
+        y1 = BRIEF_PATTERN[:, 0] * sa + BRIEF_PATTERN[:, 1] * ca
+        x2 = BRIEF_PATTERN[:, 2] * ca - BRIEF_PATTERN[:, 3] * sa
+        y2 = BRIEF_PATTERN[:, 2] * sa + BRIEF_PATTERN[:, 3] * ca
+        ix1 = np.clip(np.round(x1).astype(int) + PATCH_R, 0, side - 1)
+        iy1 = np.clip(np.round(y1).astype(int) + PATCH_R, 0, side - 1)
+        ix2 = np.clip(np.round(x2).astype(int) + PATCH_R, 0, side - 1)
+        iy2 = np.clip(np.round(y2).astype(int) + PATCH_R, 0, side - 1)
+        np.add.at(out[b], (iy2 * side + ix2, j), 1.0)
+        np.add.at(out[b], (iy1 * side + ix1, j), -1.0)
+    return out
+
+
+BIN_DIFF_MATS = _make_bin_diff_mats()
+
 # Circular mask for the intensity-centroid moment patch.
 _yy, _xx = np.mgrid[-PATCH_R : PATCH_R + 1, -PATCH_R : PATCH_R + 1]
 CIRC_MASK = (_yy**2 + _xx**2 <= PATCH_R**2).astype(np.float32)
@@ -68,26 +104,27 @@ def brief_from_patches(
     """Steered-BRIEF 256-bit descriptors -> (N, 8) uint32 from (N, 31, 31)
     patches.
 
-    Samples the rotated pattern with nearest-neighbor reads from the patch
-    (reference rounds to integer offsets the same way,
-    src/ORBextractor.cc:110-121 GET_VALUE).
+    The keypoint angle selects one of N_ANGLE_BINS precomputed rotated
+    patterns (the ORB paper's 2pi/30 lookup-table discretization; the
+    reference samples at integer-rounded rotated offsets,
+    src/ORBextractor.cc:110-121 GET_VALUE). All bins are evaluated as one
+    (N, 961) @ (961, BINS*256) MXU matmul; a one-hot reduction then picks
+    each keypoint's bin — no per-element gathers.
     """
-    pat = jnp.asarray(BRIEF_PATTERN)  # (256, 4)
-    ca, sa = jnp.cos(angles), jnp.sin(angles)  # (N,)
-    # Rotate both sample points of every pair: (N, 256)
-    x1 = pat[None, :, 0] * ca[:, None] - pat[None, :, 1] * sa[:, None]
-    y1 = pat[None, :, 0] * sa[:, None] + pat[None, :, 1] * ca[:, None]
-    x2 = pat[None, :, 2] * ca[:, None] - pat[None, :, 3] * sa[:, None]
-    y2 = pat[None, :, 2] * sa[:, None] + pat[None, :, 3] * ca[:, None]
-    ix1 = jnp.clip(jnp.round(x1).astype(jnp.int32) + PATCH_R, 0, 2 * PATCH_R)
-    iy1 = jnp.clip(jnp.round(y1).astype(jnp.int32) + PATCH_R, 0, 2 * PATCH_R)
-    ix2 = jnp.clip(jnp.round(x2).astype(jnp.int32) + PATCH_R, 0, 2 * PATCH_R)
-    iy2 = jnp.clip(jnp.round(y2).astype(jnp.int32) + PATCH_R, 0, 2 * PATCH_R)
-    flat = patches.reshape(patches.shape[0], -1)  # (N, 31*31)
-    W = 2 * PATCH_R + 1
-    v1 = jnp.take_along_axis(flat, iy1 * W + ix1, axis=1)
-    v2 = jnp.take_along_axis(flat, iy2 * W + ix2, axis=1)
-    bits = (v1 < v2).astype(jnp.uint32)  # (N, 256)
+    flat = patches.reshape(patches.shape[0], -1)  # (N, 961)
+    bins = jnp.mod(
+        jnp.round(angles * (N_ANGLE_BINS / (2.0 * jnp.pi))).astype(jnp.int32),
+        N_ANGLE_BINS,
+    )
+    diff = jnp.einsum(
+        "np,bpj->nbj", flat, jnp.asarray(BIN_DIFF_MATS),
+        preferred_element_type=jnp.float32,
+    )  # (N, BINS, 256) = v2 - v1 under every rotation bin
+    onehot = (bins[:, None] == jnp.arange(N_ANGLE_BINS)[None, :]).astype(
+        jnp.float32
+    )
+    sel = jnp.einsum("nbj,nb->nj", diff, onehot)  # (N, 256)
+    bits = (sel > 0).astype(jnp.uint32)  # (N, 256)
     # Pack 256 bits -> 8 uint32 words (bit j of word k = bit 32k+j).
     shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
     words = bits.reshape(-1, 8, 32) << shifts[None, None, :]

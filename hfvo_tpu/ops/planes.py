@@ -28,6 +28,8 @@ import jax.numpy as jnp
 
 from ..geometry.camera import Intrinsics
 
+from . import sym_eig
+
 BLOCK = 16
 N_PROP_ITERS = 12
 
@@ -88,7 +90,7 @@ def segment_planes(
     cov_b = jnp.einsum("yxpc,yxp,yxpd->yxcd", Xc, Vb, Xc) / n_safe[..., None, None]
 
     def plane_from_cov(mu, cov):
-        evals, evecs = jnp.linalg.eigh(cov + 1e-10 * jnp.eye(3))
+        evals, evecs = sym_eig.eigh3(cov + 1e-10 * jnp.eye(3))
         normal = evecs[..., 0]  # smallest eigenvalue direction
         # Orient towards the camera (n . viewdir < 0 with viewdir = mu).
         sign = jnp.where(jnp.sum(normal * mu, axis=-1, keepdims=True) > 0, -1.0, 1.0)

@@ -1,0 +1,95 @@
+"""Batched small symmetric eigendecomposition without XLA custom calls.
+
+`jnp.linalg.eigh` on TPU lowers to the iterative `EighTpu` custom call;
+inside the fused per-frame program its three 3x3 instances (plane block
+fits over the 30x40 grid, the region refit, and the 3D line PCA) cost
+~29 ms per batch-8 step — 20% of the whole device program — because the
+custom call cannot fuse and pads every 3x3 problem to 2x2 block form.
+
+A fixed-sweep cyclic Jacobi rotation schedule is exact to float32
+precision after a handful of sweeps (quadratic convergence), is pure
+elementwise math the XLA fuser folds into neighboring ops, is branch-free
+(safe under vmap/jit), and — unlike the closed-form Cardano route — stays
+well-defined on the degenerate all-zero covariances that masked-out
+blocks produce.
+
+Drop-in contract matches jnp.linalg.eigh: ascending eigenvalues, V[...,i]
+the i-th eigenvector, V orthonormal.
+
+Reference equivalence: the reference's plane fitter runs per-block 3x3
+eigensolves through its own closed-form routine (include/peac/eig33sym.hpp);
+this module is the TPU-native analog.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+# Cyclic (p, q) rotation schedules. 5 sweeps leaves off-diagonal mass at
+# ~1e-7 of the Frobenius norm for float32 inputs (quadratic convergence
+# after the first two sweeps).
+_PAIRS3 = ((0, 1), (0, 2), (1, 2))
+_PAIRS4 = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
+def _jacobi_rotate(A, V, p: int, q: int):
+    """One Jacobi rotation zeroing A[..., p, q], applied symmetrically to A
+    and accumulated into V. p < q are static Python ints."""
+    apq = A[..., p, q]
+    app = A[..., p, p]
+    aqq = A[..., q, q]
+    # Rotation angle: theta = 0.5 * atan2(2 a_pq, a_qq - a_pp). atan2 is
+    # well-defined at (0, 0) (returns 0 -> identity rotation), which covers
+    # the degenerate all-zero matrices of masked-out blocks.
+    theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+    c = jnp.cos(theta)[..., None]
+    s = jnp.sin(theta)[..., None]
+
+    # Column updates: col_p' = c*col_p - s*col_q ; col_q' = s*col_p + c*col_q
+    Acp = A[..., :, p]
+    Acq = A[..., :, q]
+    new_p = c * Acp - s * Acq
+    new_q = s * Acp + c * Acq
+    A = A.at[..., :, p].set(new_p).at[..., :, q].set(new_q)
+    # Row updates (same rotation from the left, transposed).
+    Arp = A[..., p, :]
+    Arq = A[..., q, :]
+    new_rp = c * Arp - s * Arq
+    new_rq = s * Arp + c * Arq
+    A = A.at[..., p, :].set(new_rp).at[..., q, :].set(new_rq)
+
+    Vcp = V[..., :, p]
+    Vcq = V[..., :, q]
+    V = V.at[..., :, p].set(c * Vcp - s * Vcq).at[..., :, q].set(s * Vcp + c * Vcq)
+    return A, V
+
+
+def _eigh_jacobi(A: jnp.ndarray, pairs, sweeps: int):
+    A = 0.5 * (A + jnp.swapaxes(A, -1, -2))
+    n = A.shape[-1]
+    V = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    for _ in range(sweeps):
+        for p, q in pairs:
+            A, V = _jacobi_rotate(A, V, p, q)
+    w = jnp.diagonal(A, axis1=-2, axis2=-1)
+    order = jnp.argsort(w, axis=-1)
+    w = jnp.take_along_axis(w, order, axis=-1)
+    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    return w, V
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def eigh3(A: jnp.ndarray, sweeps: int = 5):
+    """Symmetric 3x3 batched eigendecomposition, ascending eigenvalues.
+    Drop-in for jnp.linalg.eigh on (..., 3, 3) symmetric inputs."""
+    assert A.shape[-2:] == (3, 3), A.shape
+    return _eigh_jacobi(A, _PAIRS3, sweeps)
+
+
+@partial(jax.jit, static_argnames=("sweeps",))
+def eigh4(A: jnp.ndarray, sweeps: int = 6):
+    """Symmetric 4x4 batched eigendecomposition, ascending eigenvalues."""
+    assert A.shape[-2:] == (4, 4), A.shape
+    return _eigh_jacobi(A, _PAIRS4, sweeps)

@@ -18,6 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from . import sym_eig
+
 from ..geometry import camera as camera_ops
 from ..geometry import se3
 from . import hamming
@@ -119,7 +121,7 @@ def triangulate_pair(
 
     A = jnp.concatenate([dlt_rows(ray_a, Pa), dlt_rows(xb, Pb)], axis=1)
     AtA = jnp.einsum("cia,cib->cab", A, A)  # (C, 4, 4)
-    _, V = jnp.linalg.eigh(AtA)  # ascending eigenvalues
+    _, V = sym_eig.eigh4(AtA)  # ascending eigenvalues
     Xh = V[:, :, 0]  # smallest eigenvector
     w = Xh[:, 3]
     X_a = Xh[:, :3] / jnp.where(jnp.abs(w) > 1e-9, w, 1.0)[:, None]

@@ -24,6 +24,8 @@ import numpy as np
 
 from ..geometry.camera import Intrinsics
 
+from . import sym_eig
+
 N_PAIRS = 512  # two-line hypotheses scored (reference enumerates ~37.8k)
 
 
@@ -95,7 +97,7 @@ def estimate_vps(
     supp_l = (jnp.abs(v @ n.T) < th_loose) & valid[None, :]  # (H, NL)
     w_l = supp_l.astype(jnp.float32) * wv[None, :]
     M = jnp.einsum("hl,li,lj->hij", w_l, n, n)  # (H, 3, 3)
-    _, evecs = jnp.linalg.eigh(M + 1e-9 * jnp.eye(3))
+    _, evecs = sym_eig.eigh3(M + 1e-9 * jnp.eye(3))
     v_ref = evecs[:, :, 0]
     enough = jnp.sum(supp_l, axis=1) >= 3
     v = jnp.where(enough[:, None], v_ref, v)

@@ -233,6 +233,13 @@ class BatchTracker:
             cols[j] for j in range(18, 23)
         ] + [self._mask_stack]
         out_dev = self._vstep(*leaves)
+        # Start the packed result's D2H copy NOW, at dispatch time: it then
+        # runs as soon as this batch's compute finishes, overlapping the
+        # host bookkeeping below. Requesting it on the NEXT call would
+        # enqueue it behind the next batch's compute, adding a full device
+        # step to every resolve.
+        if hasattr(out_dev[0], "copy_to_host_async"):
+            out_dev[0].copy_to_host_async()
         meta = fused_out_meta(
             self.cfg,
             [jax.ShapeDtypeStruct(l.shape[1:], l.dtype) for l in leaves],
@@ -244,9 +251,6 @@ class BatchTracker:
         )
         if prev is None:
             return []
-        for leaf in jax.tree.leaves(prev["out"][0]):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
         return self._resolve_batch(prev)
 
     def flush(self) -> List[TrackResult]:

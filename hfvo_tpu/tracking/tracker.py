@@ -859,6 +859,13 @@ class Tracker:
             T_pred_b = np.linalg.inv(self.T_cw).astype(np.float32)
         args = self.prepare_step_args(gray_u8, depth_u16, T_pred, T_pred_b)
         out_dev = fused_track_step(self.cfg, *args)
+        # Start the packed result's D2H copy at DISPATCH time (not the
+        # pose/feed device arrays — those stay on device): it runs as soon
+        # as this frame's compute finishes. Requesting it on the next call
+        # would queue it behind the next frame's compute, adding a full
+        # device step to every resolve.
+        if hasattr(out_dev[0], "copy_to_host_async"):
+            out_dev[0].copy_to_host_async()
         prev = self._pending
         self._pending = dict(
             out=out_dev, fid=fid, gray=gray_u8, depth=depth_u16,
@@ -867,13 +874,6 @@ class Tracker:
         )
         if prev is None:
             return []
-        # Start moving the previous PACKED result to the host asynchronously
-        # (not the pose/feed device arrays — those stay on device) — by the
-        # time _resolve_pending blocks on it, the transfer (and usually the
-        # compute) has already happened under the new frame's dispatch.
-        for leaf in jax.tree.leaves(prev["out"][0]):
-            if hasattr(leaf, "copy_to_host_async"):
-                leaf.copy_to_host_async()
         return self._resolve_pending(prev)
 
     def flush(self) -> list:

@@ -713,6 +713,65 @@ class LocalMapper:
             pid[mask] = lut[pid[mask]]
         return len(remap)
 
+    def reelect_point_descriptors(self, max_window: int = 6) -> int:
+        """Re-elect each tracked point's distinctive descriptor: among its
+        observation descriptors across the covisible keyframe window, keep
+        the one with the smallest median Hamming distance to the others
+        (reference: MapPoint::ComputeDistinctiveDescriptors,
+        src/MapPoint.cc:120-170, run per processed keyframe from
+        LocalMapping::ProcessNewKeyFrame, src/LocalMapping.cc:185-257).
+
+        Batched: one (W, W, P) popcount tensor over the window's
+        observation descriptors — no per-point loop."""
+        vm = self.vomap
+        newest = vm.newest_kf_slot
+        if newest < 0 or vm.n_keyframes() < 2:
+            return 0
+        kf = vm.keyframes
+        window = np.concatenate(
+            [[newest], vm.covisible_kfs(newest, min_weight=1, cap=max_window - 1)]
+        ).astype(np.int64)
+        W = len(window)
+        if W < 2:
+            return 0
+        pid_new = kf.point_id[newest]
+        tgt = np.unique(pid_new[kf.obs_valid[newest] & (pid_new >= 0)])
+        tgt = tgt[vm.points.valid[tgt]]
+        P = len(tgt)
+        if P == 0:
+            return 0
+        descs = np.zeros((W, P, 8), np.uint32)
+        have = np.zeros((W, P), bool)
+        inv = np.full((vm.points.valid.shape[0],), -1, np.int64)
+        for w, k in enumerate(window):
+            pid = kf.point_id[k]
+            rows = np.nonzero(kf.obs_valid[k] & (pid >= 0))[0]
+            inv[:] = -1
+            inv[pid[rows]] = rows
+            r = inv[tgt]
+            hv = r >= 0
+            descs[w, hv] = kf.desc[k, r[hv]]
+            have[w, hv] = True
+        nobs = have.sum(0)
+        if not (nobs >= 2).any():
+            return 0
+        d8 = descs.view(np.uint8)  # (W, P, 32)
+        x = np.bitwise_count(d8[:, None] ^ d8[None, :]).sum(-1).astype(np.int32)
+        big = np.int32(10000)
+        x = np.where(have[:, None] & have[None, :], x, big)
+        # Reference semantics: for candidate i the score is the median of
+        # its distances to ALL of the point's observations (self distance 0
+        # included), i.e. sorted[(n-1)//2]; invalid pairs sort to the back.
+        xs = np.sort(x, axis=1)  # (W, W, P)
+        med_idx = np.broadcast_to((nobs - 1) // 2, (W, P))[:, None, :]
+        med = np.take_along_axis(xs, med_idx.astype(np.int64), axis=1)[:, 0, :]
+        med = np.where(have, med, big)
+        best_w = med.argmin(axis=0)
+        ar = np.arange(P)
+        upd = (nobs >= 2) & have[best_w, ar]
+        vm.points.desc[tgt[upd]] = descs[best_w, ar][upd]
+        return int(upd.sum())
+
     def cull_keyframes(self) -> list:
         """Cull keyframes whose close points are >=90% observed by >=3 other
         keyframes at the same or finer octave (reference:

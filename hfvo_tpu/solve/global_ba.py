@@ -66,13 +66,7 @@ class GlobalBAResult(NamedTuple):
     chi2: jnp.ndarray
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "n_iters", "cg_iters", "chi2_mono", "chi2_stereo", "chi2_line"
-    ),
-)
-def global_bundle_adjustment(
+def _gba_impl(
     prob: GlobalBAProblem,
     intr: Intrinsics,
     n_iters: int = 10,
@@ -80,9 +74,22 @@ def global_bundle_adjustment(
     chi2_mono: float = 5.991,
     chi2_stereo: float = 7.815,
     chi2_line: float = 3.84,
+    axis_name: str | None = None,
 ) -> GlobalBAResult:
     """Robust (Huber-reweighted) LM over the whole map; 10 iterations like
-    the reference's post-loop GBA (src/LoopClosing.cc:653)."""
+    the reference's post-loop GBA (src/LoopClosing.cc:653).
+
+    With `axis_name`, runs as the per-shard body of a `shard_map` whose
+    mesh axis partitions the EDGE tables (keyframe/landmark state is
+    replicated): every edge-indexed accumulation is followed by a psum
+    over the axis, so each device computes the identical replicated update
+    from its edge block (SURVEY.md §5.7/§5.8: map-block partitioned
+    distributed global BA; Schur reduction = local partial products +
+    collective)."""
+    if axis_name is None:
+        _ps = lambda x: x  # noqa: E731 — single-device: no collective
+    else:
+        _ps = lambda x: jax.lax.psum(x, axis_name)  # noqa: E731
     K = prob.kf_T_cw.shape[0]
     P = prob.pt_X.shape[0]
     th_e = jnp.where(prob.e_stereo, chi2_stereo, chi2_mono)
@@ -110,7 +117,7 @@ def global_bundle_adjustment(
         *_, chi2, okd = terms(kf_T, pt_X)
         t = jnp.sum(jnp.where(e_active & okd, chi2, 0.0))
         *_, chi2l, okdl = lterms(kf_T, pt_X)
-        return t + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0))
+        return _ps(t + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0)))
 
     def body(_, carry):
         kf_T, pt_X, lam = carry
@@ -150,6 +157,11 @@ def global_bundle_adjustment(
         bp = bp.at[prob.le_kf].add(jnp.einsum("eki,ek->ei", Jpl, Wl * rl))
         bl = bl.at[prob.le_lm].add(jnp.einsum("eki,ek->ei", Jxl, Wl * rl))
         chi2_cur = chi2_cur + jnp.sum(jnp.where(le_active & okdl, chi2l, 0.0))
+        # Edge shards each built partial sums; make the normal equations
+        # (and the current cost) replicated before factorization.
+        Hpp, Hll, bp, bl, chi2_cur = (
+            _ps(Hpp), _ps(Hll), _ps(bp), _ps(bl), _ps(chi2_cur),
+        )
 
         # Damped landmark blocks + their inverses (isotropic damping — see
         # solve.ba._schur_solve on the line-direction null space).
@@ -170,26 +182,30 @@ def global_bundle_adjustment(
             return jnp.zeros((P, 3)).at[idx].add(t_contrib)
 
         def S_matvec(v):
-            """v (K, 6) -> S v, edge-wise, never materializing S."""
+            """v (K, 6) -> S v, edge-wise, never materializing S. Two
+            collectives per call under sharding: the landmark gather t and
+            the keyframe scatter-back."""
             v = jnp.where(free[:, None], v, 0.0)
             out = jnp.einsum("kab,kb->ka", Hpp_d, v)
             # t_p = sum_k U_{p,k}^T v_k
-            t = scatter_lm(
-                jnp.einsum("eab,ea->eb", U_e, v[prob.e_kf]), prob.e_pt
-            ) + scatter_lm(
-                jnp.einsum("eab,ea->eb", Ul_e, v[prob.le_kf]), prob.le_lm
+            t = _ps(
+                scatter_lm(
+                    jnp.einsum("eab,ea->eb", U_e, v[prob.e_kf]), prob.e_pt
+                ) + scatter_lm(
+                    jnp.einsum("eab,ea->eb", Ul_e, v[prob.le_kf]), prob.le_lm
+                )
             )
             wv = jnp.einsum("pab,pb->pa", A, t)
-            out = out.at[prob.e_kf].add(
-                -jnp.einsum("eab,eb->ea", U_e, wv[prob.e_pt])
+            back = jnp.zeros((K, 6)).at[prob.e_kf].add(
+                jnp.einsum("eab,eb->ea", U_e, wv[prob.e_pt])
+            ).at[prob.le_kf].add(
+                jnp.einsum("eab,eb->ea", Ul_e, wv[prob.le_lm])
             )
-            out = out.at[prob.le_kf].add(
-                -jnp.einsum("eab,eb->ea", Ul_e, wv[prob.le_lm])
-            )
+            out = out - _ps(back)
             return jnp.where(free[:, None], out, 0.0)
 
         Abl = jnp.einsum("pab,pb->pa", A, bl)
-        b_red = bp - (
+        b_red = bp - _ps(
             jnp.zeros((K, 6)).at[prob.e_kf].add(
                 jnp.einsum("eab,eb->ea", U_e, Abl[prob.e_pt])
             )
@@ -234,10 +250,12 @@ def global_bundle_adjustment(
         dpose = jnp.where(free[:, None], dpose, 0.0)
 
         # Back-substitute landmarks.
-        t = scatter_lm(
-            jnp.einsum("eab,ea->eb", U_e, dpose[prob.e_kf]), prob.e_pt
-        ) + scatter_lm(
-            jnp.einsum("eab,ea->eb", Ul_e, dpose[prob.le_kf]), prob.le_lm
+        t = _ps(
+            scatter_lm(
+                jnp.einsum("eab,ea->eb", U_e, dpose[prob.e_kf]), prob.e_pt
+            ) + scatter_lm(
+                jnp.einsum("eab,ea->eb", Ul_e, dpose[prob.le_kf]), prob.le_lm
+            )
         )
         dpt = -jnp.einsum("pab,pb->pa", A, bl + t)
         dpt = jnp.where(observed[:, None], dpt, 0.0)
@@ -261,10 +279,20 @@ def global_bundle_adjustment(
     e_inlier = prob.e_valid & (chi2 <= th_e) & okd
     *_, chi2l, okdl = lterms(kf_T, pt_X)
     le_inlier = prob.le_valid & (chi2l <= chi2_line) & okdl
-    total = jnp.sum(jnp.where(e_inlier, chi2, 0.0)) + jnp.sum(
-        jnp.where(le_inlier, chi2l, 0.0)
+    total = _ps(
+        jnp.sum(jnp.where(e_inlier, chi2, 0.0))
+        + jnp.sum(jnp.where(le_inlier, chi2l, 0.0))
     )
     return GlobalBAResult(kf_T, pt_X, e_inlier, le_inlier, total)
+
+
+global_bundle_adjustment = partial(
+    jax.jit,
+    static_argnames=(
+        "n_iters", "cg_iters", "chi2_mono", "chi2_stereo", "chi2_line",
+        "axis_name",
+    ),
+)(_gba_impl)
 
 
 def _pow2(n: int, lo: int = 8) -> int:

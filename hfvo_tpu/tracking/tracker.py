@@ -780,6 +780,10 @@ class Tracker:
                 self.mapper.fuse_points()
                 if self.cfg.use_lines:
                     self.mapper.fuse_lines()
+                # Distinctive-descriptor re-election over the covisible
+                # window (reference: ComputeDistinctiveDescriptors from
+                # ProcessNewKeyFrame + after Fuse, src/LocalMapping.cc:93).
+                self.mapper.reelect_point_descriptors()
                 self._stage("kf_fuse", time.perf_counter() - t0)
                 if self.use_local_ba:
                     t0 = time.perf_counter()

@@ -74,6 +74,17 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed) -> float:
     tracker._relocalize(g0, d0)
     from hfvo_tpu.solve.pnp import pnp_ransac
 
+    # Fine-Manhattan init fires a few keyframes in; its first jit call
+    # mid-measurement would cost a compile-cache load over the tunnel.
+    from hfvo_tpu.ops import manhattan as manh_ops
+
+    manh_ops.multiview_manh_init(
+        jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros((1024, 3), jnp.float32),
+        jnp.zeros((1024,), jnp.float32),
+        jnp.full((1024,), -1, jnp.int32),
+    )
+
     rngw = np.random.default_rng(0)
     pnp_ransac(
         jnp.asarray(

@@ -120,6 +120,11 @@ def bench_batch(cfg, n_seq, n_warm, n_timed) -> float:
         T_wc, grays, depths = synthetic.render_sequence(
             n=n_warm + n_timed, seed=100 + s
         )
+        # Sensor/disk formats (see main): uint8 gray, uint16 mm depth.
+        grays = [np.clip(np.rint(g), 0, 255).astype(np.uint8) for g in grays]
+        depths = [
+            np.clip(d * 1000.0, 0, 65535).astype(np.uint16) for d in depths
+        ]
         seqs.append((T_wc, grays, depths))
 
     bt = BatchTracker(cfg, n_seq, use_local_ba=False)
@@ -150,8 +155,15 @@ def main() -> None:
     cfg = tum3_config()
     n_warm, n_timed = 8, 30
     T_wc, grays, depths = synthetic.render_sequence(n=n_warm + n_timed, seed=0)
-    # Keep frames as host arrays: track_rgbd uploads compact uint8/uint16
-    # itself; pre-uploaded float device arrays would round-trip the tunnel.
+    # Frames enter in the sensor/disk format the reference consumes —
+    # uint8 gray (cv::imread) and uint16 millimeter depth (TUM 16-bit
+    # PNGs, rgbd_tum.cc:144-147). The synthetic renderer emits float;
+    # converting per frame inside the timed loop would charge ~6 ms/frame
+    # of numpy casts that a real pipeline never pays.
+    grays = [np.clip(np.rint(g), 0, 255).astype(np.uint8) for g in grays]
+    depths = [
+        np.clip(d * 1000.0, 0, 65535).astype(np.uint16) for d in depths
+    ]
 
     single_fps = bench_single(cfg, grays, depths, T_wc, n_warm, n_timed)
 

@@ -20,6 +20,7 @@ import numpy as np
 
 from ..config import VOConfig
 from ..tracking.tracker import (
+    _gray_u8,
     Tracker,
     TrackResult,
     TrackState,
@@ -77,7 +78,7 @@ class BatchTracker:
                 init = T_cw_inits[s] if T_cw_inits else None
                 results[s] = tr.track_rgbd(gray_np, depth_np, T_cw_init=init)
                 continue
-            gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
+            gray_u8 = jnp.asarray(_gray_u8(gray_np))
             depth_u16 = jnp.asarray(tr._depth_host_u16(depth_np))
             T_pred = tr.velocity @ tr.T_cw
             per_seq_args.append(tr.prepare_step_args(gray_u8, depth_u16, T_pred))
@@ -155,7 +156,7 @@ class BatchTracker:
 
         S = self.n_seq
         gray_h = [
-            np.clip(np.asarray(g), 0, 255).astype(np.uint8) for g in grays
+            _gray_u8(np.asarray(g)) for g in grays
         ]
         depth_h = [
             self.trackers[s]._depth_host_u16(np.asarray(d))

@@ -562,6 +562,14 @@ def _depth_full_jit(depth_u16: jnp.ndarray) -> jnp.ndarray:
     return jnp.repeat(jnp.repeat(d, 2, axis=0), 2, axis=1)
 
 
+
+def _gray_u8(gray_np: np.ndarray) -> np.ndarray:
+    """uint8 passthrough (the sensor/PNG format); clip+cast only floats."""
+    if gray_np.dtype == np.uint8:
+        return gray_np
+    return np.clip(gray_np, 0, 255).astype(np.uint8)
+
+
 @dataclass
 class TrackResult:
     state: TrackState
@@ -697,12 +705,18 @@ class Tracker:
         depth_np = np.asarray(depth)
         # Compact uploads for the per-frame hot path: uint8 intensity +
         # uint16 millimeter depth (3.5x less tunnel traffic than float32).
-        gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
+        gray_u8 = jnp.asarray(_gray_u8(gray_np))
         depth_u16 = jnp.asarray(self._depth_host_u16(depth_np))
 
         if self.state is TrackState.NOT_INITIALIZED:
             gray_f = jnp.asarray(gray_np.astype(np.float32))
-            depth_f = jnp.asarray(depth_np.astype(np.float32))
+            # uint16 input is millimeters (sensor format); init works in
+            # float meters.
+            depth_f = jnp.asarray(
+                depth_np.astype(np.float32) * 1e-3
+                if depth_np.dtype == np.uint16
+                else depth_np.astype(np.float32)
+            )
             feats = extract_frame_jit(gray_f, depth_f, self.cfg)
             self._initialize(feats, gray_f, depth_f, T_cw_init)
             self._record_trajectory()
@@ -847,7 +861,7 @@ class Tracker:
         fid = self.frame_id
         gray_np = np.asarray(gray)
         depth_np = np.asarray(depth)
-        gray_u8 = jnp.asarray(np.clip(gray_np, 0, 255).astype(np.uint8))
+        gray_u8 = jnp.asarray(_gray_u8(gray_np))
         depth_u16 = jnp.asarray(self._depth_host_u16(depth_np))
 
         if self._pending is None:
@@ -1016,9 +1030,14 @@ class Tracker:
 
     def _depth_host_u16(self, depth_np: np.ndarray) -> np.ndarray:
         """Host-side compact depth encoding: uint16 millimeters, optionally
-        2x2-subsampled (TrackingConfig.depth_half_upload)."""
+        2x2-subsampled (TrackingConfig.depth_half_upload). uint16 input is
+        taken as millimeters as-is (the TUM sensor format — 16-bit PNGs;
+        converting disk-u16 -> float meters -> u16 again costs ~3.5 ms per
+        640x480 frame of pure numpy)."""
         if self.cfg.tracking.depth_half_upload:
             depth_np = depth_np[::2, ::2]
+        if depth_np.dtype == np.uint16:
+            return np.ascontiguousarray(depth_np)
         return np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
 
     def invalidate_map_snapshot(self):

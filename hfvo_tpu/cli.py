@@ -44,6 +44,12 @@ def main(argv=None) -> int:
         "--vocabulary", default=None,
         help="trained DBoW2 text vocabulary (ORBvoc.txt); default: LSH bank",
     )
+    ap.add_argument(
+        "--viewer", action="store_true",
+        help="spawn the live HTTP viewer (reference: Pangolin Viewer thread, "
+        "src/System.cc:108-113)",
+    )
+    ap.add_argument("--viewer-port", type=int, default=0)
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +67,7 @@ def main(argv=None) -> int:
     system = VOSystem(
         settings_yaml=args.settings, use_local_ba=not args.no_ba,
         vocabulary_path=args.vocabulary,
+        use_viewer=args.viewer, viewer_port=args.viewer_port,
     )
     factor = system.cfg.tracking.depth_map_factor
 

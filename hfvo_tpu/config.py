@@ -75,6 +75,11 @@ class PlaneConfig:
     vp_chi: float = 50.0
     association_dis_ref: float = 0.15
     association_ang_ref: float = 0.2618  # ~15 deg
+    # |n1.n2| bound under which two planes count as perpendicular when
+    # seeding the Manhattan frame (reference: Plane.VerticalThreshold =
+    # 0.08716 (85 deg) in Examples/RGB-D/TUM3.yaml:102, consumed by
+    # Map::FindManhattan via mfVerTh, src/Tracking.cc:177,658).
+    vertical_threshold: float = 0.08716
     voxel_size: float = 0.1  # reference: src/Frame.cc:2130 voxel downsample
     block: int = 10  # AHC seed-block size in pixels
     max_points_per_plane: int = 512  # downsampled cloud capacity per landmark

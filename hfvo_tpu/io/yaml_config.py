@@ -88,6 +88,7 @@ def config_from_yaml(path: str) -> VOConfig:
         vp_chi=g("Plane.VPChi", 50.0),
         association_dis_ref=g("Plane.AssociationDisRef", 0.15),
         association_ang_ref=g("Plane.AssociationAngRef", 0.2618),
+        vertical_threshold=g("Plane.VerticalThreshold", 0.08716),
     )
     fps = g("Camera.fps", 30.0)
     mask_path = kv.get("Mask.path")

@@ -328,3 +328,50 @@ def line_axis_assignment(
     best = jnp.argmax(cosang, axis=-1)
     best_cos = jnp.max(cosang, axis=-1)
     return jnp.where(best_cos > jnp.cos(cone), best, -1).astype(jnp.int32)
+
+
+def plane_seed_pair(
+    plane_normals,
+    plane_counts,
+    plane_valid,
+    line_dirs=None,
+    ver_th: float = 0.08716,
+):
+    """Seed direction pair for the coarse Manhattan init from detected planes.
+
+    Host-side numpy analog of ``Map::FindManhattan``
+    (/root/reference/src/Map.cc:150-394, called at init from
+    src/Tracking.cc:658): pick the near-perpendicular plane-normal pair
+    (|n1.n2| < ver_th) with the largest combined pixel support; if no such
+    pair exists, pair the plane normal with the most perpendicular 3D line
+    direction. The caller feeds the pair into
+    :func:`coarse_manhattan_init`'s seeded hypotheses, where mean-shift
+    refinement + support-rate validation replace the reference's follow-up
+    ``TrackManhattanFrame`` call.
+
+    Returns a ``(2, 3)`` float32 array or ``None``.
+    """
+    import numpy as np
+
+    n = np.asarray(plane_normals, np.float32)
+    cnt = np.asarray(plane_counts, np.float32)
+    ok = np.asarray(plane_valid, bool)
+    n = n[ok]
+    cnt = cnt[ok]
+    if len(n) >= 2:
+        dot = np.abs(n @ n.T)
+        support = cnt[:, None] + cnt[None, :]
+        perp = dot < ver_th
+        np.fill_diagonal(perp, False)
+        if perp.any():
+            support = np.where(perp, support, -1.0)
+            i, j = np.unravel_index(np.argmax(support), support.shape)
+            return np.stack([n[i], n[j]]).astype(np.float32)
+    if len(n) >= 1 and line_dirs is not None and len(line_dirs):
+        ld = np.asarray(line_dirs, np.float32)
+        ld = ld / (np.linalg.norm(ld, axis=1, keepdims=True) + 1e-9)
+        dot = np.abs(n @ ld.T)  # (P, L)
+        i, j = np.unravel_index(np.argmin(dot), dot.shape)
+        if dot[i, j] < ver_th:
+            return np.stack([n[i], ld[j]]).astype(np.float32)
+    return None

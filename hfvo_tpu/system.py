@@ -52,6 +52,8 @@ class VOSystem:
         settings_yaml: Optional[str] = None,
         use_local_ba: bool = True,
         vocabulary_path: Optional[str] = None,
+        use_viewer: bool = False,
+        viewer_port: int = 0,
     ):
         if vocabulary_path is not None:
             # Trained DBoW2 vocabulary for relocalization/loop retrieval
@@ -69,6 +71,17 @@ class VOSystem:
         self.timestamps: List[float] = []
         self.times = StageTimes()
         self._localization_only = False
+        self.viewer = None
+        if use_viewer:
+            # Live HTTP viewer thread (reference: System spawns the Pangolin
+            # Viewer thread when useViewer is set, src/System.cc:108-113).
+            from .viz.live import LiveViewer
+
+            self.viewer = LiveViewer(self.tracker, port=viewer_port)
+            print(
+                f"live viewer: http://127.0.0.1:{self.viewer.port}/",
+                flush=True,
+            )
 
     # ------------------------------------------------------------------
 
@@ -100,6 +113,8 @@ class VOSystem:
         self.timestamps.append(timestamp)
         self.times.track_total += time.perf_counter() - t0
         self.times.n_frames += 1
+        if self.viewer is not None:
+            self.viewer.publish(gray, res)
         return res
 
     # ------------------------------------------------------------------
@@ -121,8 +136,11 @@ class VOSystem:
         self.times = StageTimes()
 
     def shutdown(self) -> None:
-        """No background threads to join; kept for API parity
-        (reference: System::Shutdown, src/System.cc:325)."""
+        """Stop the viewer thread if one was spawned (reference:
+        System::Shutdown joins the Viewer thread, src/System.cc:325-340)."""
+        if self.viewer is not None:
+            self.viewer.close()
+            self.viewer = None
 
     # ------------------------------------------------------------------
 

@@ -614,6 +614,11 @@ class Tracker:
         # three into one device program, so the split here is fused-step
         # dispatch+pull vs the keyframe-path sub-stages).
         self.stage_times: dict = {}
+        # Live-viewer hook: when enabled, _finish stores zero-copy overlay
+        # references for viz.live.LiveViewer (reference: FrameDrawer::Update,
+        # src/FrameDrawer.cc:247). Off by default — no hot-path cost.
+        self.viz_enabled = False
+        self._last_viz_kp = None
         self._pending = None  # in-flight pipelined frame (track_rgbd_async)
         self._used_fallback = False
         self._pads = (None, None)
@@ -1348,6 +1353,13 @@ class Tracker:
             ok = False
         if ok:
             self._last_n_matches = n_in
+        if self.viz_enabled:
+            # Zero-copy reference swap for the live viewer's frame overlay
+            # (reference: FrameDrawer::Update copies the current image +
+            # tracked-feature flags under a mutex, src/FrameDrawer.cc:247).
+            self._last_viz_kp = (
+                np.asarray(feats.uv), pt_per_kp >= 0, np.asarray(feats.valid),
+            )
         return ok, T_new.astype(np.float32), pt_per_kp, n_in, feats
 
     def _track_reference_kf(self, feats: FrameFeatures):
@@ -1457,12 +1469,14 @@ class Tracker:
             depth = depth.astype(jnp.float32) * 1e-3
         normals, ok = plane_ops.compute_normals(depth, self.cfg.camera, stride=8)
         d = np.asarray(normals)[np.asarray(ok)]
+        line_dirs_np = None
         if self._last_line_out is not None:
             lf, l3d, _ = self._last_line_out
             v3 = np.asarray(l3d.valid)
             if v3.any():
                 ld = np.asarray(l3d.X1_c)[v3] - np.asarray(l3d.X0_c)[v3]
                 ld /= np.linalg.norm(ld, axis=1, keepdims=True) + 1e-9
+                line_dirs_np = ld
                 d = np.concatenate([d, ld.astype(d.dtype)])
             # Vanishing-point directions contribute depth-free structure
             # (reference seeds Manhattan from line VPs, Frame.cc:330-337 +
@@ -1491,8 +1505,28 @@ class Tracker:
         buf[: min(len(sub), CAP)] = sub[:CAP]
         rng = np.random.RandomState(self.frame_id + 1)
         idx = rng.randint(0, max(min(len(sub), CAP), 1), size=(24, 2))
+        pairs = buf[idx]
+        # Deterministic plane-pair seed ahead of the random hypotheses
+        # (reference: Map::FindManhattan picks the best perpendicular plane
+        # pair — else plane + perpendicular line — to seed the initial
+        # Manhattan rotation, src/Map.cc:150-394, called at init from
+        # src/Tracking.cc:658; here mean-shift refinement + the support-rate
+        # gate of coarse_manhattan_init validate the seed instead of the
+        # follow-up TrackManhattanFrame call). Fixed hypothesis count: the
+        # seed replaces the first random pair rather than growing the batch.
+        if self._last_plane_out is not None:
+            seg = self._last_plane_out[0]
+            seed = manh_ops.plane_seed_pair(
+                np.asarray(seg.planes)[:, :3],
+                np.asarray(seg.counts),
+                np.asarray(seg.valid),
+                line_dirs=line_dirs_np,
+                ver_th=self.cfg.planes.vertical_threshold,
+            )
+            if seed is not None:
+                pairs[0] = seed
         R_cm, rate = manh_ops.coarse_manhattan_init(
-            jnp.asarray(buf), jnp.asarray(w), jnp.asarray(buf[idx]),
+            jnp.asarray(buf), jnp.asarray(w), jnp.asarray(pairs),
             cone=self.cfg.manhattan.normal_cone,
         )
         if float(rate) > self.cfg.manhattan.coarse_success_rate:

@@ -59,3 +59,39 @@ def test_draw_empty_map(tmp_path):
     p = os.path.join(tmp_path, "empty.png")
     drawers.draw_map(vm, p)
     assert _is_png(p)
+
+
+def test_live_viewer_endpoints(tracked):
+    """Spin up the HTTP viewer against a tracked sequence and fetch all
+    three endpoints (reference: Viewer thread + FrameDrawer/MapDrawer,
+    src/System.cc:108-113, src/FrameDrawer.cc:38, src/MapDrawer.cc:42)."""
+    import json
+    import urllib.request
+
+    from hfvo_tpu.viz.live import LiveViewer
+
+    tr, grays = tracked
+    viewer = LiveViewer(tr, port=0)
+    try:
+        # Simulate VOSystem.track_rgbd's per-frame publish call.
+        class Res:
+            state = "OK"
+            n_matches = 123
+            is_keyframe = False
+
+        viewer.publish(grays[-1], Res())
+        base = f"http://127.0.0.1:{viewer.port}"
+        page = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"hfvo_tpu" in page and b"Show Manh Axis" in page
+        state = json.loads(
+            urllib.request.urlopen(base + "/state.json", timeout=10).read()
+        )
+        assert state["state"] == "OK" and state["n_matches"] == 123
+        assert state["png"]  # frame image present
+        m = json.loads(
+            urllib.request.urlopen(base + "/map.json", timeout=10).read()
+        )
+        assert len(m["points"]) > 0 and len(m["kf_T_wc"]) > 0
+        assert len(m["T_cw"]) == 4
+    finally:
+        viewer.close()

@@ -33,11 +33,21 @@ from ..utils import pack as pack_utils
 
 @dataclass
 class BatchTracker:
-    """Run S trackers whose per-frame device work is one vmapped call."""
+    """Run S trackers whose per-frame device work is one vmapped call.
+
+    With `mesh` set (a 1-d `jax.sharding.Mesh` whose single axis is named
+    ``seq``), the sequence axis of every stacked input is sharded across
+    the mesh devices and the same jitted program partitions trivially —
+    sequences share no state, so XLA emits zero collectives and each chip
+    tracks S / n_devices sequences (the "multi-host batch over sequences"
+    scale-out of SURVEY.md §2.3/§5.8; across hosts the mesh spans DCN via
+    jax.distributed and each process feeds its addressable shards).
+    """
 
     cfg: VOConfig
     n_seq: int
     use_local_ba: bool = True
+    mesh: Optional[jax.sharding.Mesh] = None
     trackers: List[Tracker] = field(init=False)
 
     def __post_init__(self):
@@ -45,6 +55,18 @@ class BatchTracker:
             Tracker(self.cfg, use_local_ba=self.use_local_ba)
             for _ in range(self.n_seq)
         ]
+        if self.mesh is not None:
+            (axis,) = self.mesh.axis_names
+            assert axis == "seq", "BatchTracker mesh axis must be 'seq'"
+            ndev = self.mesh.devices.size
+            assert self.n_seq % ndev == 0, (
+                f"n_seq={self.n_seq} not divisible by mesh size {ndev}"
+            )
+            self._sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec("seq")
+            )
+        else:
+            self._sharding = None
         self._vstep = jax.jit(
             jax.vmap(
                 partial(fused_track_step, self.cfg, radius=15.0, check_octave=True),
@@ -55,6 +77,21 @@ class BatchTracker:
         # patch gathers into the fused program triggers a serialized XLA
         # lowering — see lk_recover_program).
         self._vlk = jax.jit(jax.vmap(partial(lk_recover_program, self.cfg)))
+
+    def _stack_dev(self, leaves) -> jnp.ndarray:
+        """Stack per-sequence host leaves and place the result sharded
+        along the sequence axis (one upload per device shard) when a mesh
+        is configured."""
+        stacked = np.stack([np.asarray(l) for l in leaves])
+        if self._sharding is None:
+            return jnp.asarray(stacked)
+        return jax.device_put(stacked, self._sharding)
+
+    def _shard_dev(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Reshard an already-device array along the sequence axis."""
+        if self._sharding is None:
+            return x
+        return jax.device_put(x, self._sharding)
 
     def track_batch(
         self,
@@ -86,7 +123,9 @@ class BatchTracker:
             batch_grays.append(gray_u8)
 
         if batch_ids:
-            stacked = [jnp.stack(cols) for cols in zip(*per_seq_args)]
+            stacked = [
+                self._shard_dev(jnp.stack(cols)) for cols in zip(*per_seq_args)
+            ]
             packed, _T_dev, _feed = self._vstep(*stacked)
             meta = fused_out_meta(self.cfg, per_seq_args[0])
             outs = pack_utils.unpack(jax.device_get(packed), meta, batch=True)
@@ -133,7 +172,9 @@ class BatchTracker:
         key = tuple(id(s) for s in snaps)
         if getattr(self, "_snap_key", None) != key:
             cols = list(zip(*[s[:-2] for s in snaps]))
-            self._snap_stack = tuple(_jnp.stack(c) for c in cols)
+            self._snap_stack = tuple(
+                self._shard_dev(_jnp.stack(c)) for c in cols
+            )
             self._snap_key = key
         return self._snap_stack, [s[-2:] for s in snaps]
 
@@ -192,18 +233,18 @@ class BatchTracker:
         # from the cached stacked device snapshot; pose positions 15/17 and
         # the previous image reuse in-flight device arrays when available.
         snap_stack, _snap_pads = self._stacked_snapshot()
-        gray_dev = jnp.asarray(np.stack(host_cols[0]))
+        gray_dev = self._stack_dev(host_cols[0])
         cols: dict = {}
         cols[0] = gray_dev
-        cols[1] = jnp.asarray(np.stack(host_cols[1]))
+        cols[1] = self._stack_dev(host_cols[1])
         for j in range(11):
             cols[2 + j] = snap_stack[j]
         for j in (13, 14, 16, 18, 19, 20, 21, 22):
-            cols[j] = jnp.asarray(np.stack(host_cols[j]))
+            cols[j] = self._stack_dev(host_cols[j])
         if pend is None:
-            cols[15] = jnp.asarray(np.stack(host_cols[15]))
-            cols[17] = jnp.asarray(np.stack(host_cols[17]))
-            prev_gray_dev = jnp.asarray(np.stack(host_cols[23]))
+            cols[15] = self._stack_dev(host_cols[15])
+            cols[17] = self._stack_dev(host_cols[17])
+            prev_gray_dev = self._stack_dev(host_cols[23])
         else:
             in_flight_T = pend["out"][1]  # (S, 4, 4) device pose output
             cols[15] = in_flight_T
@@ -212,9 +253,9 @@ class BatchTracker:
 
         # Chained LK dispatch feeding the fused step (no host sync).
         if self.cfg.use_lines and self.cfg.lines.lk_recovery:
-            cand = jnp.asarray(
+            cand = self._shard_dev(jnp.asarray(
                 np.stack(host_cols[21]) & (np.stack(host_cols[22]) >= 0)
-            )
+            ))
             lk_q0, lk_q1, lk_fit = self._vlk(
                 cols[0], prev_gray_dev, cols[18], cols[19], cand,
                 cols[15], cols[16], cols[17],
@@ -227,9 +268,9 @@ class BatchTracker:
 
         # Cached stacked static mask (device-resident, built once).
         if getattr(self, "_mask_stack", None) is None:
-            self._mask_stack = jnp.stack(
+            self._mask_stack = self._shard_dev(jnp.stack(
                 [tr._mask_dev for tr in self.trackers]
-            )
+            ))
         leaves = [cols[j] for j in range(18)] + [lk_q0, lk_q1, lk_fit] + [
             cols[j] for j in range(18, 23)
         ] + [self._mask_stack]

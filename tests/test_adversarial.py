@@ -76,3 +76,24 @@ def test_low_texture_non_manhattan(rng):
     T_wc, grays, depths = synthetic.render_sequence(n=25, scene=scene, seed=9)
     ape, tr = _run(cfg, T_wc, grays, depths)
     assert ape.rmse < 0.06, f"low-texture slanted ATE {ape.rmse:.4f} m"
+
+
+def test_icl_preset_negative_fy_end_to_end(rng):
+    """ICL-NUIM preset: fy is NEGATIVE (the dataset's flipped-v quirk,
+    reference: Examples/RGB-D/ICL.yaml Camera.fy=-480). Render with the ICL
+    camera and track with the ICL config — projection, grid assignment,
+    line geometry, and depth handling (DepthMapFactor 5000) must all hold
+    under the sign flip."""
+    from hfvo_tpu.config import icl_config
+
+    cfg = icl_config()
+    T_wc, grays, depths = synthetic.render_sequence(n=8, seed=4, intr=cfg.camera)
+    # Round-trip depth through the dataset's integer format at factor 5000.
+    depths = [
+        np.clip(d * 5000.0, 0, 65535).astype(np.uint16).astype(np.float32)
+        / 5000.0
+        for d in depths
+    ]
+    ape, tr = _run(cfg, T_wc, grays, depths)
+    assert tr.state.name == "OK"
+    assert ape.rmse < 0.02, ape.rmse

@@ -151,6 +151,13 @@ class TrackingConfig:
     # 30-bin rotation-consistency histogram in projection matching
     # (reference: mbCheckOrientation, src/ORBmatcher.cc:37-39).
     check_rotation_consistency: bool = True
+    # Viewing-direction gate on local-map candidates: reject a point whose
+    # mean observation direction is > 60 deg from the current viewing ray
+    # (reference: Frame::isInFrustum viewCos < viewingCosLimit = 0.5,
+    # src/Frame.cc:1371-1427, called from SearchLocalPoints,
+    # src/Tracking.cc:3227).
+    check_view_cos: bool = True
+    view_cos_limit: float = 0.5
     # Epipolar triangulation of new map points at keyframe insertion
     # (reference: LocalMapping::CreateNewMapPoints, src/LocalMapping.cc:335
     # — the only way landmarks beyond the depth range enter the map).

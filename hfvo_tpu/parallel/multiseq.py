@@ -215,7 +215,7 @@ class BatchTracker:
             else:
                 # Constant velocity chained on the in-flight batched pose
                 # inside the program (T_pred_a @ T_pred_b @ T_pred_a):
-                # positions 15/17 are substituted with the device array
+                # positions 16/18 are substituted with the device array
                 # below; the host placeholder here is ignored.
                 T_pred = tr.T_cw
                 T_pred_b = np.linalg.inv(tr.T_cw).astype(np.float32)
@@ -228,37 +228,37 @@ class BatchTracker:
             for j, leaf in enumerate(a):
                 host_cols[j].append(leaf)
 
-        # Assemble the batched leaves (host layout: 0-17 fused positions,
-        # 18-22 prev-line tail, 23 prev gray). Snapshot positions 2..12 come
-        # from the cached stacked device snapshot; pose positions 15/17 and
+        # Assemble the batched leaves (host layout: 0-18 fused positions,
+        # 19-23 prev-line tail, 24 prev gray). Snapshot positions 2..13 come
+        # from the cached stacked device snapshot; pose positions 16/18 and
         # the previous image reuse in-flight device arrays when available.
         snap_stack, _snap_pads = self._stacked_snapshot()
         gray_dev = self._stack_dev(host_cols[0])
         cols: dict = {}
         cols[0] = gray_dev
         cols[1] = self._stack_dev(host_cols[1])
-        for j in range(11):
+        for j in range(12):
             cols[2 + j] = snap_stack[j]
-        for j in (13, 14, 16, 18, 19, 20, 21, 22):
+        for j in (14, 15, 17, 19, 20, 21, 22, 23):
             cols[j] = self._stack_dev(host_cols[j])
         if pend is None:
-            cols[15] = self._stack_dev(host_cols[15])
-            cols[17] = self._stack_dev(host_cols[17])
-            prev_gray_dev = self._stack_dev(host_cols[23])
+            cols[16] = self._stack_dev(host_cols[16])
+            cols[18] = self._stack_dev(host_cols[18])
+            prev_gray_dev = self._stack_dev(host_cols[24])
         else:
             in_flight_T = pend["out"][1]  # (S, 4, 4) device pose output
-            cols[15] = in_flight_T
-            cols[17] = in_flight_T
+            cols[16] = in_flight_T
+            cols[18] = in_flight_T
             prev_gray_dev = pend["gray_dev"]
 
         # Chained LK dispatch feeding the fused step (no host sync).
         if self.cfg.use_lines and self.cfg.lines.lk_recovery:
             cand = self._shard_dev(jnp.asarray(
-                np.stack(host_cols[21]) & (np.stack(host_cols[22]) >= 0)
+                np.stack(host_cols[22]) & (np.stack(host_cols[23]) >= 0)
             ))
             lk_q0, lk_q1, lk_fit = self._vlk(
-                cols[0], prev_gray_dev, cols[18], cols[19], cand,
-                cols[15], cols[16], cols[17],
+                cols[0], prev_gray_dev, cols[19], cols[20], cand,
+                cols[16], cols[17], cols[18],
             )
         else:
             Ml = self.cfg.cap.lines
@@ -271,8 +271,8 @@ class BatchTracker:
             self._mask_stack = self._shard_dev(jnp.stack(
                 [tr._mask_dev for tr in self.trackers]
             ))
-        leaves = [cols[j] for j in range(18)] + [lk_q0, lk_q1, lk_fit] + [
-            cols[j] for j in range(18, 23)
+        leaves = [cols[j] for j in range(19)] + [lk_q0, lk_q1, lk_fit] + [
+            cols[j] for j in range(19, 24)
         ] + [self._mask_stack]
         out_dev = self._vstep(*leaves)
         # Start the packed result's D2H copy NOW, at dispatch time: it then

@@ -47,6 +47,8 @@ def search_by_projection(
     check_octave: bool = True,
     map_angle: jnp.ndarray | None = None,  # (L,) creation-keypoint IC angle
     kp_angle: jnp.ndarray | None = None,  # (N,)
+    map_normal: jnp.ndarray | None = None,  # (L, 3) mean viewing direction
+    view_cos_limit: float = 0.5,
 ) -> ProjMatchResult:
     """Match projected landmarks to frame keypoints in a search window.
 
@@ -69,6 +71,16 @@ def search_by_projection(
         & (z > 0.1)
         & camera.in_image(intr, proj, margin=1.0)
     )
+    if map_normal is not None:
+        # Viewing-direction gate (reference: Frame::isInFrustum rejects
+        # viewCos < viewingCosLimit = 0.5, src/Frame.cc:1371-1427). Points
+        # without an accumulated normal (zero vector) pass ungated.
+        O_w = -T_cw[:3, :3].T @ T_cw[:3, 3]
+        view = map_X - O_w
+        view = view / (jnp.linalg.norm(view, axis=1, keepdims=True) + 1e-9)
+        cos_v = jnp.sum(view * map_normal, axis=1)
+        has_n = jnp.sum(map_normal * map_normal, axis=1) > 0.25
+        visible &= (~has_n) | (cos_v > view_cos_limit)
 
     # Window + octave gating.
     r_per_kp = radius * 1.2 ** kp_octave.astype(jnp.float32)  # (N,)

@@ -56,6 +56,7 @@ def _fused_track_step_impl(
     map_valid: jnp.ndarray,
     map_octave: jnp.ndarray,
     map_angle: jnp.ndarray,  # (L,) creation-keypoint IC angle
+    map_normal: jnp.ndarray,  # (L, 3) mean viewing direction (0 = ungated)
     ml_X0: jnp.ndarray,  # (Ll, 3) map-line snapshot
     ml_X1: jnp.ndarray,
     ml_desc: jnp.ndarray,
@@ -182,6 +183,8 @@ def _fused_track_step_impl(
         kp_angle=(
             feats.angle if cfg.tracking.check_rotation_consistency else None
         ),
+        map_normal=map_normal if cfg.tracking.check_view_cos else None,
+        view_cos_limit=cfg.tracking.view_cos_limit,
     )
     pt_local = res.pt_id_per_kp  # (N,) row into snapshot or -1
     matched = pt_local >= 0
@@ -1075,6 +1078,7 @@ class Tracker:
             (pad >= 0) & p.valid[safe],
             p.octave[safe],
             p.angle[safe],
+            p.normal[safe],
             t.X0_w[lsafe],
             t.X1_w[lsafe],
             t.desc[lsafe],
@@ -1135,7 +1139,7 @@ class Tracker:
         `T_prev` is the last frame's pose (host or in-flight device) seeding
         the rotation warp of the line f2f/LK channel."""
         (
-            mX, mdesc, mvalid, moct, mangle,
+            mX, mdesc, mvalid, moct, mangle, mnormal,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad,
         ) = self._local_map_snapshot()
         self._pads = (pad, lpad)
@@ -1187,7 +1191,7 @@ class Tracker:
             lk_q1 = jnp.zeros((Ml, 2), jnp.float32)
             lk_fit = jnp.zeros((Ml,), bool)
         return (
-            gray, depth, mX, mdesc, mvalid, moct, mangle,
+            gray, depth, mX, mdesc, mvalid, moct, mangle, mnormal,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
             jnp.asarray(self.R_wm), jnp.asarray(self.manh_valid),
             T_pred,
@@ -1234,7 +1238,7 @@ class Tracker:
         positions and the previous batched image itself."""
         host = self._local_map_snapshot_host()
         (
-            mX, mdesc, mvalid, moct, mangle,
+            mX, mdesc, mvalid, moct, mangle, mnormal,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid, pad, lpad,
         ) = host
         self._pads = (pad, lpad)
@@ -1245,12 +1249,12 @@ class Tracker:
         p0_h, p1_h, desc_h, valid_h, prev_row_h, gray_h = self._prev_feed_host(lpad)
         if np.asarray(gray_h).dtype != np.uint8:
             gray_h = np.zeros_like(np.asarray(gray_u8))
-        # Leaves 0-17 match fused_track_step positions; 18-22 are the
-        # prev-line-feed tail (fused positions 21-25 after the 3 LK leaves
-        # the batch runner inserts); 23 is the previous gray frame for the
+        # Leaves 0-18 match fused_track_step positions; 19-23 are the
+        # prev-line-feed tail (fused positions 22-26 after the 3 LK leaves
+        # the batch runner inserts); 24 is the previous gray frame for the
         # runner's vmapped lk_recover_program dispatch.
         return (
-            gray_u8, depth_u16, mX, mdesc, mvalid, moct, mangle,
+            gray_u8, depth_u16, mX, mdesc, mvalid, moct, mangle, mnormal,
             lX0, lX1, ldesc, lvalid, mppi, mpvalid,
             self.R_wm, np.asarray(self.manh_valid),
             np.asarray(T_pred, np.float32),

@@ -311,6 +311,19 @@ class VOMap:
         np.add.at(self.points.n_obs, pids, 1)
         first = self.points.first_kf[pids] < 0
         self.points.first_kf[pids[first]] = k
+        # Running mean viewing direction (reference:
+        # MapPoint::UpdateNormalAndDepth re-averages over all observing
+        # keyframes on every new observation, src/MapPoint.cc; consumed by
+        # the Frame::isInFrustum viewCos gate).
+        p = self.points
+        C = np.linalg.inv(T_cw)[:3, 3]
+        d = p.X_w[pids] - C
+        d /= np.linalg.norm(d, axis=1, keepdims=True) + 1e-9
+        w = np.maximum(p.n_obs[pids] - 1, 0).astype(np.float32)[:, None]
+        mixed = p.normal[pids] * w + d
+        p.normal[pids] = (
+            mixed / (np.linalg.norm(mixed, axis=1, keepdims=True) + 1e-9)
+        ).astype(np.float32)
         return k
 
     def release_keyframe(self, k: int) -> None:

@@ -39,6 +39,48 @@ def test_search_by_projection_basic(rng):
     np.testing.assert_array_equal(pt, np.arange(L))
 
 
+def test_search_by_projection_view_cos_gate(rng):
+    """Viewing-direction gate (reference: Frame::isInFrustum viewCos <
+    viewingCosLimit = 0.5, src/Frame.cc:1371-1427): a point whose mean
+    observation direction opposes the current viewing ray is rejected;
+    zero-normal (fresh) points pass ungated."""
+    from hfvo_tpu.geometry import camera
+
+    intr = tum3_config().camera
+    L = 8
+    X = np.stack(
+        [rng.uniform(-1, 1, L), rng.uniform(-0.7, 0.7, L), rng.uniform(2, 4, L)], 1
+    ).astype(np.float32)
+    uv = np.array(camera.project(intr, jnp.asarray(X)))
+    desc = rng.integers(0, 2**32, (L, 8), dtype=np.uint32)
+    view = X / np.linalg.norm(X, axis=1, keepdims=True)  # camera at origin
+    normal = view.copy()
+    normal[0] = -view[0]          # seen from the opposite side -> reject
+    normal[1] = 0.0               # no accumulated normal -> pass
+    # 60-deg-boundary case: rotate view[2] by ~70 deg -> reject.
+    axis = np.array([view[2][1], -view[2][0], 0.0])
+    axis /= np.linalg.norm(axis) + 1e-9
+    from hfvo_tpu.geometry import se3 as _se3
+    R70 = np.asarray(_se3.exp_so3(jnp.asarray((axis * np.deg2rad(70)).astype(np.float32))))
+    normal[2] = R70 @ view[2]
+    args = (
+        jnp.asarray(X), jnp.asarray(desc), jnp.ones((L,), bool),
+        jnp.arange(L, dtype=jnp.int32), jnp.zeros((L,), jnp.int32),
+        jnp.asarray(uv), jnp.asarray(desc), jnp.zeros((L,), jnp.int32),
+        jnp.ones((L,), bool), jnp.eye(4), intr,
+    )
+    res = matcher.search_by_projection(
+        *args, map_normal=jnp.asarray(normal.astype(np.float32))
+    )
+    pt = np.asarray(res.pt_id_per_kp)
+    assert pt[0] == -1 and pt[2] == -1  # gated out
+    assert pt[1] == 1                   # zero normal passes
+    assert (pt[3:] == np.arange(3, L)).all()
+    # Without normals everything matches (the pre-gate behavior).
+    res2 = matcher.search_by_projection(*args)
+    assert int(res2.n_matches) == L
+
+
 def test_search_by_projection_conflict(rng):
     # Two landmarks projecting to the same keypoint: closest descriptor wins.
     from hfvo_tpu.geometry import camera

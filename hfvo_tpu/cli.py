@@ -55,9 +55,15 @@ def main(argv=None) -> int:
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # TPU only: CPU AOT cache entries can carry machine-feature flags,
+        # and a cache write from a forced-multi-device CPU client can abort
+        # the process (observed under the 8-device test mesh).
+        if jax.default_backend() == "tpu":
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+            )
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

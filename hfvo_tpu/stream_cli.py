@@ -50,9 +50,13 @@ def main(argv=None) -> int:
     import jax
 
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        # TPU only — see cli.py: a CPU cache write can abort the process.
+        if jax.default_backend() == "tpu":
+            jax.config.update(
+                "jax_compilation_cache_dir", "/root/repo/.jax_cache"
+            )
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
 

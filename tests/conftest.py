@@ -25,6 +25,27 @@ assert len(jax.devices()) == 8
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# XLA:CPU's compiler segfaults intermittently (observed inside
+# backend_compile_and_load on the wide-window tracking program), killing the
+# xdist worker and failing an otherwise-green test. Reschedule a crashed
+# test once on a restarted worker (requires --max-worker-restart, set in
+# pytest.ini); a second crash of the same test fails for real.
+_crash_retried = set()
+
+
+def pytest_handlecrashitem(crashitem, report, sched):
+    if crashitem in _crash_retried:
+        return
+    _crash_retried.add(crashitem)
+    try:
+        sched.mark_test_pending(crashitem)
+    except NotImplementedError:
+        # loadscope/loadfile schedulers don't implement mark_test_pending;
+        # re-enqueue the item under its scope by hand.
+        scope = sched._split_scope(crashitem)
+        sched.workqueue.setdefault(scope, {})[crashitem] = False
+    report.outcome = "rescheduled"
+
 
 @pytest.fixture
 def rng():

@@ -586,6 +586,12 @@ class Tracker:
     cfg: VOConfig
     use_local_ba: bool = True
     use_loop_closing: bool = True
+    # In-flight frame budget for track_rgbd_async. 1 = one-frame-lag
+    # (dispatch, then resolve the previous frame). >=2 also hides the
+    # transport's dispatch->execution latency: frame i-depth is resolved
+    # BEFORE dispatching frame i, so by resolve time its result has been
+    # on host for (depth-1) call periods. Map updates lag `depth` frames.
+    pipeline_depth: int = 1
     vomap: VOMap = field(init=False)
     mapper: LocalMapper = field(init=False)
     state: TrackState = TrackState.NOT_INITIALIZED
@@ -622,7 +628,7 @@ class Tracker:
         # src/FrameDrawer.cc:247). Off by default — no hot-path cost.
         self.viz_enabled = False
         self._last_viz_kp = None
-        self._pending = None  # in-flight pipelined frame (track_rgbd_async)
+        self._pipe: list = []  # in-flight pipelined frames (track_rgbd_async)
         self._used_fallback = False
         self._pads = (None, None)
         # World Manhattan rotation (columns = axes) once initialized
@@ -844,26 +850,47 @@ class Tracker:
         self, gray: np.ndarray, depth: np.ndarray,
         T_cw_init: Optional[np.ndarray] = None,
     ) -> list:
-        """One-frame-lag pipelined tracking for RTT-bound transports.
+        """Pipelined tracking for RTT-bound transports (depth in-flight).
 
-        Dispatches this frame's fused step against a device-resident
-        constant-velocity prediction chained on the still-in-flight previous
-        result, then resolves the PREVIOUS frame — so device compute and
-        transfers overlap host bookkeeping instead of serializing
-        (the reference gets the same overlap from its mapping/tracking
-        thread split, src/System.cc:74-90). Returns the TrackResults that
-        became final during this call (usually the previous frame's; empty
-        on the first call). Call `flush()` at sequence end.
+        With pipeline_depth=1 (default): dispatches this frame's fused step
+        against a device-resident constant-velocity prediction chained on
+        the still-in-flight previous result, then resolves the PREVIOUS
+        frame — so device compute and transfers overlap host bookkeeping
+        instead of serializing (the reference gets the same overlap from
+        its mapping/tracking thread split, src/System.cc:74-90).
 
-        Keyframe insertion and map updates lag one frame; the dispatched
-        frame tracks against the snapshot as of two frames ago, matching
-        the reference's asynchronous LocalMapping semantics.
+        With pipeline_depth>=2: frame i-depth is resolved BEFORE frame i is
+        dispatched. By then its result has been on host for (depth-1) call
+        periods, so the blocking device_get costs ~0 even when the
+        transport adds tens of ms between host dispatch and device
+        execution; the velocity baseline stays exactly one frame behind
+        the newest in-flight pose. Steady-state throughput becomes
+        max(host bookkeeping, device time, upload line rate) instead of
+        including the dispatch->execution latency.
+
+        Returns the TrackResults that became final during this call (empty
+        on the first `depth` calls). Call `flush()` at sequence end.
+        Keyframe insertion and map updates lag `depth` frames; dispatched
+        frames track against a snapshot that old, matching the reference's
+        asynchronous LocalMapping semantics.
         """
         if self.state is not TrackState.OK:
             out = []
             out.extend(self.flush())
             out.append(self.track_rgbd(gray, depth, T_cw_init))
             return out
+
+        results: list = []
+        if self.pipeline_depth > 1:
+            # Resolve-first: the oldest in-flight frame is depth calls old
+            # and already on host; resolving it now keeps the velocity
+            # baseline (T_pred_b below) exactly one frame behind the newest
+            # in-flight pose.
+            while self._pipe and len(self._pipe) >= self.pipeline_depth:
+                results.extend(self._resolve_oldest())
+            if self.state is not TrackState.OK:
+                results.append(self.track_rgbd(gray, depth, T_cw_init))
+                return results
 
         self.frame_id += 1
         fid = self.frame_id
@@ -872,16 +899,16 @@ class Tracker:
         gray_u8 = jnp.asarray(_gray_u8(gray_np))
         depth_u16 = jnp.asarray(self._depth_host_u16(depth_np))
 
-        if self._pending is None:
+        if not self._pipe:
             T_pred = (self.velocity @ self.T_cw).astype(np.float32)
             T_pred_b = None
         else:
             # Constant-velocity prediction entirely inside the fused jit:
-            # the pending frame's pose is still in flight; chaining keeps
-            # the dispatch asynchronous, and composing T_prev inv(T_pp)
-            # T_prev inside the program avoids per-frame eager device ops
-            # (each would be its own execution over the tunnel).
-            T_pred = self._pending["out"][1]  # in-flight device pose
+            # the newest pending frame's pose is still in flight; chaining
+            # keeps the dispatch asynchronous, and composing
+            # T_prev inv(T_pp) T_prev inside the program avoids per-frame
+            # eager device ops (each its own execution over the tunnel).
+            T_pred = self._pipe[-1]["out"][1]  # in-flight device pose
             T_pred_b = np.linalg.inv(self.T_cw).astype(np.float32)
         args = self.prepare_step_args(gray_u8, depth_u16, T_pred, T_pred_b)
         out_dev = fused_track_step(self.cfg, *args)
@@ -892,25 +919,27 @@ class Tracker:
         # device step to every resolve.
         if hasattr(out_dev[0], "copy_to_host_async"):
             out_dev[0].copy_to_host_async()
-        prev = self._pending
-        self._pending = dict(
+        self._pipe.append(dict(
             out=out_dev, fid=fid, gray=gray_u8, depth=depth_u16,
             pads=self._pads,
             meta=fused_out_meta(self.cfg, args),
-        )
-        if prev is None:
-            return []
-        return self._resolve_pending(prev)
+        ))
+        if self.pipeline_depth == 1:
+            # Dispatch-then-resolve: this dispatch overlaps the previous
+            # frame's in-flight compute (the original one-frame-lag order).
+            while len(self._pipe) > 1:
+                results.extend(self._resolve_oldest())
+        return results
 
     def flush(self) -> list:
-        """Resolve any in-flight pipelined frame; returns its TrackResults."""
-        if getattr(self, "_pending", None) is None:
-            return []
-        prev = self._pending
-        self._pending = None
-        return self._resolve_pending(prev)
+        """Resolve all in-flight pipelined frames; returns their TrackResults."""
+        results: list = []
+        while getattr(self, "_pipe", None):
+            results.extend(self._resolve_oldest())
+        return results
 
-    def _resolve_pending(self, p) -> list:
+    def _resolve_oldest(self) -> list:
+        p = self._pipe.pop(0)
         saved_fid = self.frame_id
         self.frame_id = p["fid"]
         try:
@@ -922,20 +951,20 @@ class Tracker:
         finally:
             self.frame_id = saved_fid
         results = [res]
-        if (res.state is not TrackState.OK or self._used_fallback) and (
-            self._pending is not None
-        ):
-            # The in-flight successor was chained on a pose that turned out
-            # wrong; its dispatch is poisoned. Re-track it synchronously
-            # from the corrected state.
-            dead = self._pending
-            self._pending = None
-            saved_fid = self.frame_id
-            self.frame_id = dead["fid"]
-            try:
-                results.append(self._track_prepared(dead["gray"], dead["depth"]))
-            finally:
-                self.frame_id = saved_fid
+        if res.state is not TrackState.OK or self._used_fallback:
+            # Every in-flight successor was chained on a pose that turned
+            # out wrong; their dispatches are poisoned. Re-track them
+            # synchronously, in order, from the corrected state.
+            dead_list, self._pipe = self._pipe, []
+            for dead in dead_list:
+                saved_fid = self.frame_id
+                self.frame_id = dead["fid"]
+                try:
+                    results.append(
+                        self._track_prepared(dead["gray"], dead["depth"])
+                    )
+                finally:
+                    self.frame_id = saved_fid
         return results
 
     def _reanchor_trajectory(self, culled: list) -> None:

@@ -195,6 +195,13 @@ class BatchTracker:
             out.extend(r for r in self.track_batch(grays, depths) if r is not None)
             return out
 
+        import time as _time
+        _tm = getattr(self, "step_times", None)
+        if _tm is None:
+            _tm = self.step_times = {
+                "prep": [], "upload": [], "dispatch": [], "resolve": []
+            }
+        _t0 = _time.perf_counter()
         S = self.n_seq
         gray_h = [
             _gray_u8(np.asarray(g)) for g in grays
@@ -228,6 +235,8 @@ class BatchTracker:
             for j, leaf in enumerate(a):
                 host_cols[j].append(leaf)
 
+        _tm["prep"].append(_time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         # Assemble the batched leaves (host layout: 0-18 fused positions,
         # 19-23 prev-line tail, 24 prev gray). Snapshot positions 2..13 come
         # from the cached stacked device snapshot; pose positions 16/18 and
@@ -274,6 +283,8 @@ class BatchTracker:
         leaves = [cols[j] for j in range(19)] + [lk_q0, lk_q1, lk_fit] + [
             cols[j] for j in range(19, 24)
         ] + [self._mask_stack]
+        _tm["upload"].append(_time.perf_counter() - _t0)
+        _t0 = _time.perf_counter()
         out_dev = self._vstep(*leaves)
         # Start the packed result's D2H copy NOW, at dispatch time: it then
         # runs as soon as this batch's compute finishes, overlapping the
@@ -291,9 +302,13 @@ class BatchTracker:
             out=out_dev, gray_dev=gray_dev, fids=fids, pads=pads,
             gray_h=gray_h, depth_h=depth_h, poisoned=set(), meta=meta,
         )
+        _tm["dispatch"].append(_time.perf_counter() - _t0)
         if prev is None:
             return []
-        return self._resolve_batch(prev)
+        _t0 = _time.perf_counter()
+        res = self._resolve_batch(prev)
+        _tm["resolve"].append(_time.perf_counter() - _t0)
+        return res
 
     def flush(self) -> List[TrackResult]:
         prev = getattr(self, "_pending", None)
@@ -303,9 +318,13 @@ class BatchTracker:
         return self._resolve_batch(prev)
 
     def _resolve_batch(self, p) -> List[TrackResult]:
-        outs = pack_utils.unpack(
-            jax.device_get(p["out"][0]), p["meta"], batch=True
-        )
+        import time as _time
+        _t0 = _time.perf_counter()
+        buf_host = jax.device_get(p["out"][0])
+        _tm = getattr(self, "step_times", None)
+        if _tm is not None:
+            _tm.setdefault("pull", []).append(_time.perf_counter() - _t0)
+        outs = pack_utils.unpack(buf_host, p["meta"], batch=True)
         results: List[TrackResult] = []
         poisoned_next = []
         for s, tr in enumerate(self.trackers):

@@ -1,16 +1,20 @@
-"""Pack a pytree of device arrays into ONE flat uint32 buffer.
+"""Pack a pytree of device arrays into ONE flat uint8 buffer.
 
 Over an RTT-bound transport every `device_get` array is its own transfer:
 pulling the fused per-frame result's ~44 leaves costs ~44 round trips
 (~75 ms measured) while the actual payload is ~170 KB (~3 ms). Grouping
-by dtype still left 4 buffers = 4 round trips (~96 ms per batch step once
-device compute stopped dominating); bitcasting every leaf into one uint32
+by dtype still left 4 buffers = 4 round trips; packing every leaf into one
 container makes the pull a single transfer.
 
-f32/s32/u32 leaves bitcast for free; bool/u8/u16 leaves widen to uint32
-(size inflation is irrelevant next to one ~25 ms round trip). `unpack`
-rebuilds the original tree from the host buffer using a static spec
-captured with `jax.eval_shape`.
+The container is uint8 with TIGHT per-leaf encoding — on a
+bandwidth-bound transport (36 MB/s tunnel measured) the width of the
+buffer matters as much as the transfer count:
+- f32/i32/u32 leaves bitcast to 4 bytes/elem (free),
+- u16/i16 to 2 bytes/elem, u8/i8 stay 1 byte/elem,
+- bool leaves bitpack 8/byte (a widened bool costs 32x its information).
+Each leaf is padded to a 4-byte boundary so host-side `.view(dtype)`
+decodes stay aligned. `unpack` rebuilds the original tree from the host
+buffer using a static spec captured with `jax.eval_shape`.
 """
 from __future__ import annotations
 
@@ -19,6 +23,19 @@ from typing import Any, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_4B = (np.dtype(np.float32), np.dtype(np.int32), np.dtype(np.uint32))
+_2B = (np.dtype(np.uint16), np.dtype(np.int16))
+_1B = (np.dtype(np.uint8), np.dtype(np.int8))
+
+
+def _leaf_nbytes(d: np.dtype, n: int) -> int:
+    """Padded byte length of one packed leaf (4-byte aligned)."""
+    if d == np.dtype(np.bool_):
+        raw = (n + 7) // 8
+    else:
+        raw = n * d.itemsize
+    return (raw + 3) // 4 * 4
 
 
 def tree_spec(tree) -> Tuple[Any, list]:
@@ -29,22 +46,44 @@ def tree_spec(tree) -> Tuple[Any, list]:
     return treedef, spec
 
 
-def _to_u32(x: jnp.ndarray) -> jnp.ndarray:
+def _to_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """Encode one leaf as a flat uint8 run, padded to 4 bytes."""
     x = x.reshape(-1)
-    if x.dtype == jnp.uint32:
-        return x
-    if x.dtype in (jnp.float32, jnp.int32):
-        return jax.lax.bitcast_convert_type(x, jnp.uint32)
-    if x.dtype in (jnp.bool_, jnp.uint8, jnp.uint16, jnp.int8, jnp.int16):
-        return x.astype(jnp.uint32)
-    raise TypeError(f"pack: unsupported leaf dtype {x.dtype}")
+    n = x.shape[0]
+    d = np.dtype(x.dtype)
+    if d == np.dtype(np.bool_):
+        npad = (-n) % 8
+        bits = jnp.pad(x, (0, npad)).reshape(-1, 8)
+        weights = (1 << jnp.arange(8, dtype=jnp.uint32))
+        out = (bits.astype(jnp.uint32) * weights).sum(-1).astype(jnp.uint8)
+    elif d in _4B:
+        out = jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+    elif d in _2B:
+        out = jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(-1)
+    elif d in _1B:
+        out = jax.lax.bitcast_convert_type(x, jnp.uint8)
+    else:
+        raise TypeError(f"pack: unsupported leaf dtype {d}")
+    pad = _leaf_nbytes(d, n) - out.shape[0]
+    if pad:
+        out = jnp.pad(out, (0, pad))
+    return out
 
 
 def pack(tree) -> jnp.ndarray:
-    """Inside jit: flatten + bitcast/widen every leaf into one 1-D uint32
+    """Inside jit: flatten + tightly encode every leaf into one 1-D uint8
     buffer. Leaf order follows tree flattening order."""
     leaves, _ = jax.tree.flatten(tree)
-    return jnp.concatenate([_to_u32(l) for l in leaves])
+    return jnp.concatenate([_to_u8(l) for l in leaves])
+
+
+def packed_nbytes(meta) -> int:
+    """Total packed byte length for a spec from `tree_spec`."""
+    _, spec = meta
+    return sum(
+        _leaf_nbytes(np.dtype(dt), int(np.prod(shape, dtype=np.int64)) if shape else 1)
+        for dt, shape in spec
+    )
 
 
 def unpack(buf_host: np.ndarray, meta, batch: bool = False):
@@ -52,22 +91,28 @@ def unpack(buf_host: np.ndarray, meta, batch: bool = False):
     buffer has a leading batch axis (vmapped program) and the rebuilt
     leaves keep it."""
     treedef, spec = meta
-    buf = np.asarray(buf_host)
+    buf = np.ascontiguousarray(np.asarray(buf_host))
     pos = 0
     leaves = []
     for dt, shape in spec:
-        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
-        seg = buf[:, pos : pos + n] if batch else buf[pos : pos + n]
-        pos += n
         d = np.dtype(dt)
-        if d == np.uint32:
-            arr = seg
-        elif d in (np.dtype(np.float32), np.dtype(np.int32)):
-            arr = seg.view(d) if seg.flags.c_contiguous else np.ascontiguousarray(seg).view(d)
-        elif d == np.dtype(np.bool_):
-            arr = seg != 0
-        else:  # u8/u16/i8/i16 widened on device
-            arr = seg.astype(d)
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        nb = _leaf_nbytes(d, n)
+        seg = buf[:, pos : pos + nb] if batch else buf[pos : pos + nb]
+        pos += nb
+        if d == np.dtype(np.bool_):
+            bits = np.unpackbits(
+                np.ascontiguousarray(
+                    seg[:, : (n + 7) // 8] if batch else seg[: (n + 7) // 8]
+                ),
+                axis=-1, bitorder="little",
+            )
+            arr = (bits[:, :n] if batch else bits[:n]) != 0
+        else:
+            raw = n * d.itemsize
+            arr = np.ascontiguousarray(
+                seg[:, :raw] if batch else seg[:raw]
+            ).view(d)
         arr = arr.reshape((buf.shape[0],) + shape if batch else shape)
         leaves.append(arr)
     return jax.tree.unflatten(treedef, leaves)

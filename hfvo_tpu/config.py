@@ -169,12 +169,15 @@ class TrackingConfig:
     # known-dynamic regions from point/line features (reference loads
     # ./masks/mask.png at startup, src/Tracking.cc:82-86).
     static_mask_path: str | None = None
-    # Upload depth at half resolution (uint16, 4x fewer bytes) and
-    # nearest-upsample on device. Host->device bandwidth is the per-frame
-    # bottleneck on RTT/bandwidth-bound transports; depth consumers
-    # (keypoint depth, stride-8 normals, plane segmentation, line fits)
-    # tolerate the 1-px quantization (chi2/RANSAC gates absorb edge cases).
-    depth_half_upload: bool = True
+    # Upload depth subsampled by this stride (uint16, stride^2 fewer bytes)
+    # and nearest-upsample on device. Host->device bandwidth is the
+    # per-frame bottleneck on RTT/bandwidth-bound transports; depth
+    # consumers (keypoint depth, stride-8 normals, plane segmentation, line
+    # fits) tolerate the (stride-1)-px quantization (chi2/RANSAC gates
+    # absorb edge cases). 1 = full resolution; 2 = the validated default;
+    # 4 trades ~2x depth-edge error for another 115 KB/frame of wire
+    # (gated by the golden-ATE tests before any preset enables it).
+    depth_upload_stride: int = 2
 
 
 @dataclass(frozen=True)

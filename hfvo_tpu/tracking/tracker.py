@@ -100,10 +100,12 @@ def _fused_track_step_impl(
     """
     gray = gray_u8.astype(jnp.float32)
     depth = depth_mm.astype(jnp.float32) * 1e-3
-    if depth.shape[0] == gray.shape[0] // 2:
-        # Half-resolution depth upload (see TrackingConfig.depth_half_upload):
+    if depth.shape[0] != gray.shape[0]:
+        # Subsampled depth upload (see TrackingConfig.depth_upload_stride):
         # nearest-upsample on device so all consumers keep full-res geometry.
-        depth = jnp.repeat(jnp.repeat(depth, 2, axis=0), 2, axis=1)
+        s = gray.shape[0] // depth.shape[0]
+        depth = jnp.repeat(jnp.repeat(depth, s, axis=0), s, axis=1)
+        depth = depth[: gray.shape[0], : gray.shape[1]]
     T_pred = T_pred_a @ T_pred_b @ T_pred_a
 
     R_cm_ref = None
@@ -455,12 +457,23 @@ def _fused_track_step_impl(
             & opt.line_inlier[2 * M + Mr :]
             & rec_ok
         )
+        # The pulled copy carries float16 descriptors: the D2H wire is the
+        # throughput bottleneck and LBD band distances are thresholded at
+        # 0.5 — f16 rounding (~1e-3) is noise. The device-side f32 copy
+        # stays in `feed_dev` for the chained f2f channel.
         line_out = (
-            lf, l3d, ln_local, ln_inlier, lres.visible, rec_rows, rec_inlier,
+            lf._replace(desc=lf.desc.astype(jnp.float16)),
+            l3d, ln_local, ln_inlier, lres.visible, rec_rows, rec_inlier,
         )
     plane_out = None
     if cfg.use_planes:
-        plane_out = (seg, pres.map_idx, pres.kind, opt.plane_inlier)
+        # block_label / block_centroid have no host consumer — drop them
+        # from the per-frame pull (19.2 KB/frame on the wire otherwise).
+        seg_out = seg._replace(
+            block_label=jnp.zeros((0, 0), jnp.int32),
+            block_centroid=jnp.zeros((0, 0, 3), jnp.float32),
+        )
+        plane_out = (seg_out, pres.map_idx, pres.kind, opt.plane_inlier)
     manh_out = None
     if cfg.use_manhattan:
         # Measured axes travel to the host so keyframes can store them:
@@ -558,11 +571,15 @@ def lk_recover_program(
     )
 
 
-@jax.jit
-def _depth_full_jit(depth_u16: jnp.ndarray) -> jnp.ndarray:
-    """uint16 mm (possibly half-res) -> float32 meters at full resolution."""
+@partial(jax.jit, static_argnames=("height", "width"))
+def _depth_full_jit(depth_u16: jnp.ndarray, height: int = 480,
+                    width: int = 640) -> jnp.ndarray:
+    """uint16 mm (possibly subsampled) -> float32 meters at full resolution."""
     d = depth_u16.astype(jnp.float32) * 1e-3
-    return jnp.repeat(jnp.repeat(d, 2, axis=0), 2, axis=1)
+    if d.shape[0] != height:
+        s = height // d.shape[0]
+        d = jnp.repeat(jnp.repeat(d, s, axis=0), s, axis=1)[:height, :width]
+    return d
 
 
 
@@ -1253,8 +1270,11 @@ class Tracker:
         inv[lpad[rows]] = rows.astype(np.int32)
         gid = feed["gid"]
         prev_row = np.where(gid >= 0, inv[np.maximum(gid, 0)], -1).astype(np.int32)
+        # The pulled descriptors are float16 (wire diet); the fused program
+        # consumes a float32 feed.
+        desc = np.asarray(feed["desc"], dtype=np.float32)
         return (
-            feed["p0"], feed["p1"], feed["desc"], feed["valid"], prev_row,
+            feed["p0"], feed["p1"], desc, feed["valid"], prev_row,
             feed["gray"],
         )
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 _4B = (np.dtype(np.float32), np.dtype(np.int32), np.dtype(np.uint32))
-_2B = (np.dtype(np.uint16), np.dtype(np.int16))
+_2B = (np.dtype(np.uint16), np.dtype(np.int16), np.dtype(np.float16))
 _1B = (np.dtype(np.uint8), np.dtype(np.int8))
 
 

@@ -44,17 +44,26 @@ def _enable_compile_cache() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 
-def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed) -> float:
-    import jax
-    import jax.numpy as jnp
-
+def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
+                 pipeline_depth: int | None = None) -> float:
     from hfvo_tpu.tracking.tracker import Tracker
 
     # Local BA runs on a background thread in the reference and is excluded
     # from its "Mean Tracking Time" metric (rgbd_tum.cc:159-166); loop
     # closing ships deactivated in the reference (LoopClosing.cc:57-101).
     # Measure the tracking path under the same protocol.
-    tracker = Tracker(cfg, use_local_ba=False, use_loop_closing=False)
+    #
+    # pipeline_depth=2 (default, HFVO_BENCH_PIPE to override): frame i's
+    # result is resolved AFTER frame i+1 dispatches, so the blocking D2H
+    # pull happens one full call period after its compute finished — the
+    # transport's dispatch->execution RTT drops out of the steady state
+    # (VERDICT r3 #2: the single-seq path was RTT-bound at ~34 ms/frame).
+    # The reference gets the same overlap from its tracking/local-mapping
+    # thread split (src/System.cc:96-114); map updates lag 2 frames.
+    if pipeline_depth is None:
+        pipeline_depth = int(os.environ.get("HFVO_BENCH_PIPE", "2"))
+    tracker = Tracker(cfg, use_local_ba=False, use_loop_closing=False,
+                      pipeline_depth=pipeline_depth)
     # Warmup: initialize + compile/cache-load every program the loop can
     # touch — the steady path, the wide-window recovery variant, and the
     # failure-path programs (BoW reloc, descriptor matching, 3D-3D RANSAC,
@@ -62,40 +71,9 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed) -> float:
     # remote-compile tunnel.
     for i in range(n_warm):
         tracker.track_rgbd(grays[i], depths[i], T_cw_init=np.linalg.inv(T_wc[0]))
-    # Warm the fallback variants with the PRODUCTION signatures (compact
-    # uint8 gray + possibly half-res uint16 depth) — a float32 warmup
-    # compiles a different program and the first real fallback then pays a
-    # 10+ s compile mid-run.
-    g0 = jnp.asarray(np.clip(np.asarray(grays[0]), 0, 255).astype(np.uint8))
-    d0 = jnp.asarray(tracker._depth_host_u16(np.asarray(depths[0])))
-    tracker._track_local_map(
-        g0, d0, tracker.T_cw, radius=50.0, check_octave=False
-    )
-    tracker._relocalize(g0, d0)
-    from hfvo_tpu.solve.pnp import pnp_ransac
-
-    # Fine-Manhattan init fires a few keyframes in; its first jit call
-    # mid-measurement would cost a compile-cache load over the tunnel.
-    from hfvo_tpu.ops import manhattan as manh_ops
-
-    manh_ops.multiview_manh_init(
-        jnp.eye(3, dtype=jnp.float32),
-        jnp.zeros((1024, 3), jnp.float32),
-        jnp.zeros((1024,), jnp.float32),
-        jnp.full((1024,), -1, jnp.int32),
-    )
-
-    rngw = np.random.default_rng(0)
-    pnp_ransac(
-        jnp.asarray(
-            rngw.normal(size=(cfg.cap.keypoints, 3)).astype(np.float32)
-            + np.array([0, 0, 4], np.float32)
-        ),
-        jnp.asarray(rngw.uniform(0, 480, (cfg.cap.keypoints, 2)).astype(np.float32)),
-        jnp.ones((cfg.cap.keypoints,), bool),
-        cfg.camera,
-        jnp.uint32(0),
-    )
+    # Warm the fallback/recovery variants with the production signatures
+    # (uint8 gray + stride-subsampled uint16 depth) via the public API.
+    tracker.warmup(grays[0], depths[0])
 
     # Prime the pipelined path (same compiled program, device-chained
     # prediction) before timing.
@@ -108,7 +86,22 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed) -> float:
         n_done += len(tracker.track_rgbd_async(grays[i], depths[i]))
     n_done += len(tracker.flush())
     dt = time.perf_counter() - t0
+    _print_phases("single", tracker.step_times, n_timed)
     return n_done / dt
+
+
+def _print_phases(tag: str, step_times: dict, n: int) -> None:
+    """Per-phase host-time breakdown (stderr; the JSON line stays last on
+    stdout). Phases measure host dispatch time — H2D/compute overlap
+    asynchronously; 'pull'/'resolve' are where the host actually waits."""
+    import sys
+
+    parts = []
+    for k, v in sorted(step_times.items()):
+        if v:
+            parts.append(f"{k}={1000 * sum(v) / len(v):.1f}ms")
+    print(f"[bench phases {tag}, mean over ~{n} steps] " + " ".join(parts),
+          file=sys.stderr)
 
 
 def bench_batch(cfg, n_seq, n_warm, n_timed) -> float:
@@ -143,6 +136,7 @@ def bench_batch(cfg, n_seq, n_warm, n_timed) -> float:
         )
     n_done += len(bt.flush())
     dt = time.perf_counter() - t0
+    _print_phases(f"batch{n_seq}", bt.step_times, n_timed)
     return n_done / dt
 
 

@@ -30,6 +30,9 @@ from ..tracking.tracker import (
 )
 from ..utils import pack as pack_utils
 
+# Most-recent step_times entries kept per phase (see track_batch_async).
+_STEP_TIMES_CAP = 512
+
 
 @dataclass
 class BatchTracker:
@@ -196,11 +199,23 @@ class BatchTracker:
             return out
 
         import time as _time
+        # Phase timers measure HOST-SIDE time only: "prep" = per-tracker arg
+        # assembly, "upload" = batched leaf assembly + async jnp.asarray
+        # DISPATCH (actual H2D transfer overlaps in flight), "dispatch" = the
+        # vstep call (async: enqueues, does not wait for compute), "resolve" =
+        # previous-batch bookkeeping, "pull" = the blocking device_get of the
+        # previous result (the only phase that waits on device/transport).
+        # Sum of phases = wall step time; device compute hides under "pull"
+        # only when it exceeds one call period. Lists keep the most recent
+        # _STEP_TIMES_CAP entries (endurance runs would grow unbounded).
         _tm = getattr(self, "step_times", None)
         if _tm is None:
             _tm = self.step_times = {
                 "prep": [], "upload": [], "dispatch": [], "resolve": []
             }
+        for v in _tm.values():
+            if len(v) >= _STEP_TIMES_CAP:
+                del v[: len(v) - _STEP_TIMES_CAP + 1]
         _t0 = _time.perf_counter()
         S = self.n_seq
         gray_h = [

@@ -103,7 +103,7 @@ def _fused_track_step_impl(
     if depth.shape[0] != gray.shape[0]:
         # Subsampled depth upload (see TrackingConfig.depth_upload_stride):
         # nearest-upsample on device so all consumers keep full-res geometry.
-        s = gray.shape[0] // depth.shape[0]
+        s = -(-gray.shape[0] // depth.shape[0])  # ceil: subsample rounds down
         depth = jnp.repeat(jnp.repeat(depth, s, axis=0), s, axis=1)
         depth = depth[: gray.shape[0], : gray.shape[1]]
     T_pred = T_pred_a @ T_pred_b @ T_pred_a
@@ -572,12 +572,15 @@ def lk_recover_program(
 
 
 @partial(jax.jit, static_argnames=("height", "width"))
-def _depth_full_jit(depth_u16: jnp.ndarray, height: int = 480,
-                    width: int = 640) -> jnp.ndarray:
-    """uint16 mm (possibly subsampled) -> float32 meters at full resolution."""
+def _depth_full_jit(depth_u16: jnp.ndarray, *, height: int,
+                    width: int) -> jnp.ndarray:
+    """uint16 mm (possibly subsampled) -> float32 meters at full resolution.
+
+    Callers must pass the target (gray / camera) dims explicitly — the
+    subsampled depth carries no record of the original resolution."""
     d = depth_u16.astype(jnp.float32) * 1e-3
     if d.shape[0] != height:
-        s = height // d.shape[0]
+        s = -(-height // d.shape[0])  # ceil: stride subsample may round down
         d = jnp.repeat(jnp.repeat(d, s, axis=0), s, axis=1)[:height, :width]
     return d
 
@@ -754,6 +757,49 @@ class Tracker:
             return TrackResult(self.state, self.T_cw.copy(), 0, True)
         return self._track_prepared(gray_u8, depth_u16)
 
+    def warmup(self, gray: np.ndarray, depth: np.ndarray) -> None:
+        """Compile/prime every device program the tracking loop can reach
+        beyond the steady path: the wide-window recovery variant and the
+        failure-path programs (BoW reloc, descriptor matching, 3D-3D
+        RANSAC, EPnP, fine-Manhattan init).
+
+        Uses the PRODUCTION signatures (uint8 gray + stride-subsampled
+        uint16 depth) — warming with float32 would compile different
+        programs and the first real fallback would still pay a 10+ s
+        compile/cache load mid-run over a remote-compile tunnel. Call with
+        one representative frame after the normal warm frames; benchmarks
+        and latency-sensitive drivers should call this so no program
+        compiles mid-measurement."""
+        g0 = jnp.asarray(_gray_u8(np.asarray(gray)))
+        d0 = jnp.asarray(self._depth_host_u16(np.asarray(depth)))
+        self._track_local_map(g0, d0, self.T_cw, radius=50.0, check_octave=False)
+        self._relocalize(g0, d0)
+        # Fine-Manhattan init fires a few keyframes in (reference:
+        # MultiViewManhInit, src/LocalMapping.cc:100-110).
+        from ..ops import manhattan as manh_ops
+
+        manh_ops.multiview_manh_init(
+            jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros((1024, 3), jnp.float32),
+            jnp.zeros((1024,), jnp.float32),
+            jnp.full((1024,), -1, jnp.int32),
+        )
+        # EPnP fallback of relocalization (reference: src/Tracking.cc:3805).
+        from ..solve.pnp import pnp_ransac
+
+        rngw = np.random.default_rng(0)
+        cap = self.cfg.cap.keypoints
+        pnp_ransac(
+            jnp.asarray(
+                rngw.normal(size=(cap, 3)).astype(np.float32)
+                + np.array([0, 0, 4], np.float32)
+            ),
+            jnp.asarray(rngw.uniform(0, 480, (cap, 2)).astype(np.float32)),
+            jnp.ones((cap,), bool),
+            self.cfg.camera,
+            jnp.uint32(0),
+        )
+
     def _track_prepared(self, gray, depth) -> TrackResult:
         """Synchronous tracking given already-uploaded uint8/uint16 frames."""
         T_pred = self.velocity @ self.T_cw
@@ -897,24 +943,40 @@ class Tracker:
             out.append(self.track_rgbd(gray, depth, T_cw_init))
             return out
 
+        # Phase timers (host-side dispatch time; transfers/compute overlap
+        # asynchronously — see parallel/multiseq.py for the same contract):
+        # "upload" = host encode + async H2D dispatch, "dispatch" = arg prep
+        # + program enqueue, "resolve" = previous-frame pull + bookkeeping.
+        _tm = self.step_times = getattr(self, "step_times", {
+            "upload": [], "dispatch": [], "resolve": []
+        })
+        for v in _tm.values():
+            if len(v) >= 512:
+                del v[: len(v) - 511]
+
         results: list = []
         if self.pipeline_depth > 1:
             # Resolve-first: the oldest in-flight frame is depth calls old
             # and already on host; resolving it now keeps the velocity
             # baseline (T_pred_b below) exactly one frame behind the newest
             # in-flight pose.
+            _t0 = time.perf_counter()
             while self._pipe and len(self._pipe) >= self.pipeline_depth:
                 results.extend(self._resolve_oldest())
+            _tm["resolve"].append(time.perf_counter() - _t0)
             if self.state is not TrackState.OK:
                 results.append(self.track_rgbd(gray, depth, T_cw_init))
                 return results
 
         self.frame_id += 1
         fid = self.frame_id
+        _t0 = time.perf_counter()
         gray_np = np.asarray(gray)
         depth_np = np.asarray(depth)
         gray_u8 = jnp.asarray(_gray_u8(gray_np))
         depth_u16 = jnp.asarray(self._depth_host_u16(depth_np))
+        _tm["upload"].append(time.perf_counter() - _t0)
+        _t0 = time.perf_counter()
 
         if not self._pipe:
             T_pred = (self.velocity @ self.T_cw).astype(np.float32)
@@ -941,11 +1003,14 @@ class Tracker:
             pads=self._pads,
             meta=fused_out_meta(self.cfg, args),
         ))
+        _tm["dispatch"].append(time.perf_counter() - _t0)
         if self.pipeline_depth == 1:
             # Dispatch-then-resolve: this dispatch overlaps the previous
             # frame's in-flight compute (the original one-frame-lag order).
+            _t0 = time.perf_counter()
             while len(self._pipe) > 1:
                 results.extend(self._resolve_oldest())
+            _tm["resolve"].append(time.perf_counter() - _t0)
         return results
 
     def flush(self) -> list:
@@ -1084,12 +1149,13 @@ class Tracker:
 
     def _depth_host_u16(self, depth_np: np.ndarray) -> np.ndarray:
         """Host-side compact depth encoding: uint16 millimeters, optionally
-        2x2-subsampled (TrackingConfig.depth_half_upload). uint16 input is
+        sxs-subsampled (TrackingConfig.depth_upload_stride). uint16 input is
         taken as millimeters as-is (the TUM sensor format — 16-bit PNGs;
         converting disk-u16 -> float meters -> u16 again costs ~3.5 ms per
         640x480 frame of pure numpy)."""
-        if self.cfg.tracking.depth_half_upload:
-            depth_np = depth_np[::2, ::2]
+        s = self.cfg.tracking.depth_upload_stride
+        if s > 1:
+            depth_np = depth_np[::s, ::s]
         if depth_np.dtype == np.uint16:
             return np.ascontiguousarray(depth_np)
         return np.clip(depth_np * 1000.0, 0, 65535).astype(np.uint16)
@@ -1462,8 +1528,12 @@ class Tracker:
         """
         if gray.dtype == jnp.uint8:
             gray = gray.astype(jnp.float32)
-        if depth.shape[0] == gray.shape[0] // 2:
-            depth = _depth_full_jit(depth)
+        if depth.shape[0] != gray.shape[0]:
+            # Any upload stride (see TrackingConfig.depth_upload_stride):
+            # nearest-upsample back to the gray resolution on device.
+            depth = _depth_full_jit(
+                depth, height=int(gray.shape[0]), width=int(gray.shape[1])
+            )
         elif depth.dtype == jnp.uint16:
             depth = depth.astype(jnp.float32) * 1e-3
         feats = extract_frame_jit(gray, depth, self.cfg)
@@ -1516,8 +1586,12 @@ class Tracker:
         """One-shot world Manhattan axes from the frame's normals (+ line
         directions when available) (reference: Tracking::ExtractCoarseManhAx,
         src/Tracking.cc:533-585; retried per frame until success :644-650)."""
-        if depth.shape[0] == self.cfg.camera.height // 2:
-            depth = _depth_full_jit(depth)
+        if depth.shape[0] != self.cfg.camera.height:
+            depth = _depth_full_jit(
+                depth,
+                height=int(self.cfg.camera.height),
+                width=int(self.cfg.camera.width),
+            )
         elif depth.dtype == jnp.uint16:
             depth = depth.astype(jnp.float32) * 1e-3
         normals, ok = plane_ops.compute_normals(depth, self.cfg.camera, stride=8)

@@ -131,6 +131,147 @@ def compute_words_tree(desc: jnp.ndarray, vocab: DBoW2Vocab) -> jnp.ndarray:
     )
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _hamming_np(a_bytes: np.ndarray, b_bytes: np.ndarray) -> np.ndarray:
+    """(N, 32) x (K, 32) uint8 -> (N, K) Hamming distances."""
+    x = np.bitwise_xor(a_bytes[:, None, :], b_bytes[None, :, :])
+    return _POP8[x].sum(axis=-1, dtype=np.int32)
+
+
+def _majority_centroid(rows: np.ndarray) -> np.ndarray:
+    """Bitwise-majority mean of (M, 32) uint8 descriptor rows (the FORB
+    meanValue of DBoW2: each bit set iff set in more than half the rows,
+    Thirdparty/DBoW2/DBoW2/FORB.cpp)."""
+    bits = np.unpackbits(rows, axis=1)  # (M, 256)
+    maj = (bits.sum(axis=0) * 2 > rows.shape[0]).astype(np.uint8)
+    return np.packbits(maj)
+
+
+def build_vocabulary(
+    desc: np.ndarray,
+    k: int = 10,
+    L: int = 5,
+    doc_ids: np.ndarray | None = None,
+    seed: int = 42,
+    kmeans_iters: int = 8,
+) -> DBoW2Vocab:
+    """Train a hierarchical k-means ORB vocabulary from packed descriptors
+    (N, 8) uint32 (reference: TemplatedVocabulary::create,
+    Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h — k-means++ seeding,
+    Hamming assignment, bitwise-majority centroids, recursion to depth L;
+    clusters of <= k or identical descriptors become leaves early).
+
+    `doc_ids` (N,) optional training-image id per descriptor: enables
+    DBoW2's TF-IDF node weights w_i = log(N_images / N_images_containing_i)
+    (TemplatedVocabulary::setNodeWeights); without it all weights are 1.
+
+    Offline tool (pure numpy) — quantization at runtime stays the batched
+    `compute_words_tree` descent."""
+    rng = np.random.default_rng(seed)
+    desc = np.ascontiguousarray(np.asarray(desc, np.uint32))
+    dbytes = desc.view(np.uint8).reshape(-1, 32)  # little-endian byte order
+    N = dbytes.shape[0]
+
+    children: list[list[int]] = [[]]
+    node_desc: list[np.ndarray] = [np.zeros(32, np.uint8)]
+    node_rows: list[np.ndarray | None] = [None]  # member rows for leaves
+
+    def new_node(parent: int, centroid: np.ndarray) -> int:
+        nid = len(children)
+        children.append([])
+        node_desc.append(centroid)
+        node_rows.append(None)
+        children[parent].append(nid)
+        return nid
+
+    def kmeanspp_centers(rows: np.ndarray, kk: int) -> np.ndarray:
+        c = [rows[rng.integers(len(rows))]]
+        d = _hamming_np(rows, np.stack(c))[:, 0].astype(np.float64)
+        for _ in range(1, kk):
+            p = d * d
+            s = p.sum()
+            if s <= 0:
+                break
+            c.append(rows[rng.choice(len(rows), p=p / s)])
+            d = np.minimum(d, _hamming_np(rows, c[-1][None])[:, 0])
+        return np.stack(c)
+
+    stack = [(0, np.arange(N), 0)]
+    while stack:
+        parent, idx, lev = stack.pop()
+        rows = dbytes[idx]
+        uniq = np.unique(rows, axis=0)
+        if len(uniq) <= k:
+            # Each distinct descriptor is its own cluster (DBoW2: when the
+            # group has <= k descriptors each becomes a cluster center).
+            for u in uniq:
+                nid = new_node(parent, u)
+                node_rows[nid] = idx[(rows == u).all(axis=1)]
+            continue
+        centers = kmeanspp_centers(rows, k)
+        assign = np.argmin(_hamming_np(rows, centers), axis=1)
+        for _ in range(kmeans_iters):
+            moved = False
+            for c in range(len(centers)):
+                sel = assign == c
+                if sel.any():
+                    nc = _majority_centroid(rows[sel])
+                    if not np.array_equal(nc, centers[c]):
+                        centers[c] = nc
+                        moved = True
+            if not moved:
+                break
+            assign = np.argmin(_hamming_np(rows, centers), axis=1)
+        for c in range(len(centers)):
+            sel = assign == c
+            if not sel.any():
+                continue
+            nid = new_node(parent, centers[c])
+            sub = idx[sel]
+            if lev + 1 < L and len(np.unique(rows[sel], axis=0)) > 1:
+                stack.append((nid, sub, lev + 1))
+            else:
+                node_rows[nid] = sub
+
+    M = len(children)
+    ch = np.full((M, k), -1, np.int32)
+    for i, cs in enumerate(children):
+        ch[i, : len(cs)] = cs
+    is_leaf = np.array([len(cs) == 0 for cs in children], bool)
+    is_leaf[0] = False
+    word_id = np.full((M,), -1, np.int32)
+    leaves = np.nonzero(is_leaf)[0]
+    word_id[leaves] = np.arange(len(leaves), dtype=np.int32)
+
+    weights = np.ones((len(leaves),), np.float32)
+    if doc_ids is not None:
+        doc_ids = np.asarray(doc_ids)
+        n_docs = len(np.unique(doc_ids))
+        for w, leaf in enumerate(leaves):
+            rows_w = node_rows[leaf]
+            ni = len(np.unique(doc_ids[rows_w])) if rows_w is not None else 0
+            weights[w] = np.log(n_docs / ni) if ni > 0 else 0.0
+
+    packed = np.zeros((M, 8), np.uint32)
+    nb = np.stack(node_desc).astype(np.uint32)
+    for w in range(8):
+        b = nb[:, 4 * w : 4 * w + 4]
+        packed[:, w] = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+
+    return DBoW2Vocab(
+        children=ch,
+        desc=packed,
+        is_leaf=is_leaf,
+        word_id=word_id,
+        word_weight=weights,
+        k=k,
+        L=L,
+        n_words=len(leaves),
+    )
+
+
 def save_dbow2_text(path: str, vocab: DBoW2Vocab) -> None:
     """Write the DBoW2 text format (round-trip / test helper)."""
     M = vocab.children.shape[0]

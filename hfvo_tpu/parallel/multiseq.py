@@ -96,6 +96,16 @@ class BatchTracker:
             return x
         return jax.device_put(x, self._sharding)
 
+    def warmup(self, gray: np.ndarray, depth: np.ndarray) -> None:
+        """Compile/prime the SINGLE-frame fallback programs the batch loop
+        reaches only when a slot leaves the steady path (LOST -> reloc,
+        wide-window recovery, synchronous re-track after a poisoned
+        dispatch, fine-Manhattan init). The jit caches are module-level and
+        the trackers share one config, so warming one tracker covers every
+        slot. Without this, the first mid-run fallback pays a 10-40 s
+        compile inside the serving loop (observed in the round-4 bench)."""
+        self.trackers[0].warmup(gray, depth)
+
     def track_batch(
         self,
         grays: Sequence[np.ndarray],
@@ -238,7 +248,9 @@ class BatchTracker:
                 # Constant velocity chained on the in-flight batched pose
                 # inside the program (T_pred_a @ T_pred_b @ T_pred_a):
                 # positions 16/18 are substituted with the device array
-                # below; the host placeholder here is ignored.
+                # below; the host placeholder here is ignored. T_pred_b is
+                # inv(last RESOLVED pose) — exactly one frame behind the
+                # in-flight one at this runner's fixed one-batch lag.
                 T_pred = tr.T_cw
                 T_pred_b = np.linalg.inv(tr.T_cw).astype(np.float32)
             a = tr.prepare_step_args_host(

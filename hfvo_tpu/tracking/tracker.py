@@ -93,10 +93,13 @@ def _fused_track_step_impl(
     The pose prediction is composed INSIDE the program as
     `T_pred = T_pred_a @ T_pred_b @ T_pred_a` so the pipelined tracker can
     chain a constant-velocity prediction on the still-in-flight previous
-    pose without any eager device ops (each eager op is a separate
-    execution over an RTT-bound transport). Synchronous callers pass
-    (T_pred, inv(T_pred)) — the identity A inv(A) A = A — and pipelined
-    callers (T_prev_device, inv(T_prevprev)) — constant velocity.
+    pose without host syncs. Synchronous callers pass (T_pred,
+    inv(T_pred)) — the identity A inv(A) A = A — and pipelined callers
+    (T_prev, inv(T_prevprev)) — constant velocity. At pipeline depth > 2
+    the prev-prev pose is itself still in flight; the caller inverts it
+    with a chained one-op device jit (`_inv_pose_jit`), never with the
+    last RESOLVED pose (P frames old), which would overshoot the
+    prediction by (P-1) x velocity — a death spiral at P >= 4.
     """
     gray = gray_u8.astype(jnp.float32)
     depth = depth_mm.astype(jnp.float32) * 1e-3
@@ -511,7 +514,12 @@ def fused_track_step(cfg: VOConfig, *args, radius: float = 15.0,
     feed_dev = ()
     if line_out is not None:
         lf = line_out[0]
-        feed_dev = (lf.p0, lf.p1, lf.desc, lf.valid)
+        # lf.desc is the float16 WIRE copy (see _fused_track_step_impl);
+        # the chained feed must stay float32 — feeding f16 back into the
+        # next fused_track_step changes its signature and silently
+        # recompiles the whole program as a second variant (observed as
+        # 40 s mid-run stalls in the round-4 bench).
+        feed_dev = (lf.p0, lf.p1, lf.desc.astype(jnp.float32), lf.valid)
     return packed, out[0], feed_dev
 
 
@@ -571,6 +579,16 @@ def lk_recover_program(
     )
 
 
+_inv_pose_jit = jax.jit(se3.inv)
+
+
+@jax.jit
+def _stack_packed(*bufs: jnp.ndarray) -> jnp.ndarray:
+    """Stack K same-shape packed result buffers -> (K, nbytes) so a resolve
+    burst fetches them with one device_get (one transport round trip)."""
+    return jnp.stack(bufs)
+
+
 @partial(jax.jit, static_argnames=("height", "width"))
 def _depth_full_jit(depth_u16: jnp.ndarray, *, height: int,
                     width: int) -> jnp.ndarray:
@@ -612,6 +630,18 @@ class Tracker:
     # BEFORE dispatching frame i, so by resolve time its result has been
     # on host for (depth-1) call periods. Map updates lag `depth` frames.
     pipeline_depth: int = 1
+    # Frames resolved per blocking device pull (>=2 amortizes the
+    # transport round trip): as soon as K in-flight frames accumulate,
+    # their packed results are stacked ON DEVICE by one async jit and the
+    # stack's D2H copy starts immediately (`copy_to_host_async`); by the
+    # time the group is resolved — (pipeline_depth - K) calls later — the
+    # host copy is complete and the blocking device_get costs ~0 instead
+    # of a ~25-30 ms transport round trip per frame (measured: plain pull
+    # 29.4 ms, pull after completed async copy 0.2 ms; pure device
+    # throughput 13 ms/frame). 0 (default) = max(1, pipeline_depth // 2):
+    # per-frame resolution at depth <= 2, stacked groups at deeper
+    # pipelines with half the pipe as copy-completion headroom.
+    resolve_burst: int = 0
     vomap: VOMap = field(init=False)
     mapper: LocalMapper = field(init=False)
     state: TrackState = TrackState.NOT_INITIALIZED
@@ -649,6 +679,7 @@ class Tracker:
         self.viz_enabled = False
         self._last_viz_kp = None
         self._pipe: list = []  # in-flight pipelined frames (track_rgbd_async)
+        self._stacks: list = []  # pre-stacked result groups (resolve_burst)
         self._used_fallback = False
         self._pads = (None, None)
         # World Manhattan rotation (columns = axes) once initialized
@@ -772,8 +803,22 @@ class Tracker:
         compiles mid-measurement."""
         g0 = jnp.asarray(_gray_u8(np.asarray(gray)))
         d0 = jnp.asarray(self._depth_host_u16(np.asarray(depth)))
+        # Standard single-frame variant (radius=15, check_octave=True):
+        # batch runners never touch it until a slot falls back to
+        # synchronous re-tracking, which would then compile mid-run.
+        self._track_local_map(g0, d0, self.T_cw)
         self._track_local_map(g0, d0, self.T_cw, radius=50.0, check_octave=False)
         self._relocalize(g0, d0)
+        # Burst-resolve stack program (track_rgbd_async with resolve
+        # bursts): compile the arity-K stack against a real packed buffer
+        # WITHOUT touching tracker state — priming it with re-tracked
+        # frames would reset the velocity model right before measurement.
+        if self._burst_k() > 1:
+            saved_pads = self._pads
+            args = self.prepare_step_args(g0, d0, self.T_cw)
+            packed0 = fused_track_step(self.cfg, *args)[0]
+            jax.block_until_ready(_stack_packed(*([packed0] * self._burst_k())))
+            self._pads = saved_pads
         # Fine-Manhattan init fires a few keyframes in (reference:
         # MultiViewManhInit, src/LocalMapping.cc:100-110).
         from ..ops import manhattan as manh_ops
@@ -818,6 +863,10 @@ class Tracker:
         pose/velocity update, keyframe policy, mapping, trajectory."""
         ok, T_new, pt_per_kp, n_matches, feats = five
         self._used_fallback = False
+        # Poison-worthiness of this frame's fallback: anything but a
+        # near-primary wide-window recovery keeps the conservative value.
+        self._fallback_delta = np.inf
+        T_primary = np.asarray(T_new, np.float64)
         if not ok:
             # Wide-window recovery from the last pose (reference falls back
             # from the motion model to wider searches the same way).
@@ -825,6 +874,24 @@ class Tracker:
             ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(
                 gray, depth, self.T_cw, radius=50.0, check_octave=False
             )
+            if ok:
+                # How far the recovered pose landed from the failed
+                # primary's estimate: in-flight successors chained their
+                # predictions on the PRIMARY pose, so a small delta means
+                # their dispatches are still fine (the matcher window
+                # absorbs cm-scale prediction error) and the pipeline need
+                # not be poisoned (_resolve_oldest checks this).
+                d = np.asarray(T_new, np.float64) @ np.linalg.inv(T_primary)
+                if np.isfinite(d).all():
+                    rot = np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
+                    # Rotation is weighted by scene depth scale: 0.01 rad
+                    # already moves an edge pixel ~7 px at fx=535, so it
+                    # counts ~4 m/rad against the translation budget.
+                    self._fallback_delta = float(
+                        np.linalg.norm(d[:3, 3]) + 4.0 * np.arccos(rot)
+                    )
+                else:
+                    self._fallback_delta = np.inf
         if not ok:
             # Window-free fallback vs the reference keyframe (reference:
             # TrackReferenceKeyFrame, src/Tracking.cc:1831). Descriptor-only
@@ -962,7 +1029,7 @@ class Tracker:
             # in-flight pose.
             _t0 = time.perf_counter()
             while self._pipe and len(self._pipe) >= self.pipeline_depth:
-                results.extend(self._resolve_oldest())
+                results.extend(self._resolve_burst())
             _tm["resolve"].append(time.perf_counter() - _t0)
             if self.state is not TrackState.OK:
                 results.append(self.track_rgbd(gray, depth, T_cw_init))
@@ -987,22 +1054,32 @@ class Tracker:
             # keeps the dispatch asynchronous, and composing
             # T_prev inv(T_pp) T_prev inside the program avoids per-frame
             # eager device ops (each its own execution over the tunnel).
+            # T_pp must be the SECOND-newest in-flight pose, not the last
+            # resolved one: at pipeline depth P the resolved pose is P
+            # frames old and the prediction would overshoot by (P-1) x
+            # velocity. Its inverse is computed by a chained one-op device
+            # jit — still no host sync.
             T_pred = self._pipe[-1]["out"][1]  # in-flight device pose
-            T_pred_b = np.linalg.inv(self.T_cw).astype(np.float32)
+            T_pred_b = (_inv_pose_jit(self._pipe[-2]["out"][1])
+                        if len(self._pipe) >= 2
+                        else np.linalg.inv(self.T_cw).astype(np.float32))
         args = self.prepare_step_args(gray_u8, depth_u16, T_pred, T_pred_b)
         out_dev = fused_track_step(self.cfg, *args)
         # Start the packed result's D2H copy at DISPATCH time (not the
         # pose/feed device arrays — those stay on device): it runs as soon
         # as this frame's compute finishes. Requesting it on the next call
         # would queue it behind the next frame's compute, adding a full
-        # device step to every resolve.
-        if hasattr(out_dev[0], "copy_to_host_async"):
+        # device step to every resolve. Skipped in burst mode — the group
+        # stack's own async copy replaces it, and the per-frame copy would
+        # just double the D2H bytes.
+        if self._burst_k() <= 1 and hasattr(out_dev[0], "copy_to_host_async"):
             out_dev[0].copy_to_host_async()
         self._pipe.append(dict(
             out=out_dev, fid=fid, gray=gray_u8, depth=depth_u16,
             pads=self._pads,
             meta=fused_out_meta(self.cfg, args),
         ))
+        self._maybe_stack_pending()
         _tm["dispatch"].append(time.perf_counter() - _t0)
         if self.pipeline_depth == 1:
             # Dispatch-then-resolve: this dispatch overlaps the previous
@@ -1017,23 +1094,82 @@ class Tracker:
         """Resolve all in-flight pipelined frames; returns their TrackResults."""
         results: list = []
         while getattr(self, "_pipe", None):
-            results.extend(self._resolve_oldest())
+            results.extend(self._resolve_burst())
         return results
 
-    def _resolve_oldest(self) -> list:
+    def _burst_k(self) -> int:
+        if self.resolve_burst > 0:
+            return self.resolve_burst
+        return max(1, self.pipeline_depth // 2)
+
+    def _maybe_stack_pending(self) -> None:
+        """Once K dispatched-but-unstacked frames accumulate, stack their
+        packed results with one async jit and start the stack's D2H copy.
+        Resolution happens (pipeline_depth - K) calls later, by which time
+        the copy is complete and the pull is ~free (see `resolve_burst`)."""
+        k = self._burst_k()
+        if k <= 1:
+            return
+        n_stacked = sum(g["k"] for g in self._stacks)
+        while len(self._pipe) - n_stacked >= k:
+            grp = self._pipe[n_stacked : n_stacked + k]
+            bufs = [p["out"][0] for p in grp]
+            stacked = _stack_packed(*bufs)
+            if hasattr(stacked, "copy_to_host_async"):
+                stacked.copy_to_host_async()
+            self._stacks.append(dict(stacked=stacked, bufs=bufs, k=k))
+            n_stacked += k
+
+    def _resolve_burst(self) -> list:
+        """Resolve the oldest in-flight group with ONE blocking device
+        pull (pre-stacked + async-copied by `_maybe_stack_pending`), or a
+        single frame when no group covers the head of the pipe."""
+        results: list = []
+        if self._stacks and self._pipe and \
+                self._stacks[0]["bufs"][0] is self._pipe[0]["out"][0]:
+            g = self._stacks.pop(0)
+            rows = jax.device_get(g["stacked"])
+            for j in range(g["k"]):
+                # A failure inside a resolve re-tracks every remaining
+                # in-flight frame synchronously and empties the pipe — the
+                # pre-pulled rows and stacks are then stale.
+                if not self._pipe or self._pipe[0]["out"][0] is not g["bufs"][j]:
+                    self._stacks.clear()
+                    break
+                results.extend(self._resolve_oldest(rows[j]))
+            return results
+        results.extend(self._resolve_oldest())
+        if not self._pipe:
+            self._stacks.clear()
+        return results
+
+    def _resolve_oldest(self, out_host_packed=None) -> list:
         p = self._pipe.pop(0)
         saved_fid = self.frame_id
         self.frame_id = p["fid"]
         try:
             self._pads = p["pads"]  # pad maps as of this frame's dispatch
             packed, _T_dev, feed_dev = p["out"]
-            out_host = pack_utils.unpack(jax.device_get(packed), p["meta"])
+            if out_host_packed is None:
+                out_host_packed = jax.device_get(packed)
+            out_host = pack_utils.unpack(out_host_packed, p["meta"])
             five = self.finish_step(out_host, gray=p["gray"], feed_dev=feed_dev)
             res = self._post_track(five, p["gray"], p["depth"])
         finally:
             self.frame_id = saved_fid
         results = [res]
-        if res.state is not TrackState.OK or self._used_fallback:
+        # A fallback whose recovered pose landed within the matcher's
+        # absorption range of the primary estimate (< 5 cm + rad combined;
+        # the 15 px window at typical scene depth tolerates more) leaves
+        # the successors' chained predictions valid — re-tracking them
+        # would cost ~P x 45 ms of synchronous storms for nothing.
+        benign_fallback = (
+            self._used_fallback
+            and getattr(self, "_fallback_delta", np.inf) < 0.02
+        )
+        if res.state is not TrackState.OK or (
+            self._used_fallback and not benign_fallback
+        ):
             # Every in-flight successor was chained on a pose that turned
             # out wrong; their dispatches are poisoned. Re-track them
             # synchronously, in order, from the corrected state.
@@ -1247,7 +1383,8 @@ class Tracker:
 
         `T_pred` may be a host pose (T_pred_b defaults to its inverse — the
         A inv(A) A = A identity) or an in-flight device pose with T_pred_b
-        the host-side inv(T_prevprev) for on-device constant velocity.
+        inv(T_prevprev) (host, or device via `_inv_pose_jit`) for
+        on-device constant velocity.
         `T_prev` is the last frame's pose (host or in-flight device) seeding
         the rotation warp of the line f2f/LK channel."""
         (

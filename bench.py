@@ -164,7 +164,10 @@ def main() -> None:
     from hfvo_tpu.testing import synthetic
 
     cfg = tum3_config()
-    n_warm, n_timed = 8, 30
+    # 90 timed frames: the deep pipeline (HFVO_BENCH_PIPE=24) resolves its
+    # tail at flush with per-frame pulls; a short window would let that
+    # tail dominate the mean.
+    n_warm, n_timed = 8, 90
     T_wc, grays, depths = synthetic.render_sequence(n=n_warm + n_timed, seed=0)
     # Frames enter in the sensor/disk format the reference consumes —
     # uint8 gray (cv::imread) and uint16 millimeter depth (TUM 16-bit

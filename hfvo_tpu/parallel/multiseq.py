@@ -21,6 +21,7 @@ import numpy as np
 from ..config import VOConfig
 from ..tracking.tracker import (
     _gray_u8,
+    _inv_pose_jit,
     Tracker,
     TrackResult,
     TrackState,
@@ -51,6 +52,16 @@ class BatchTracker:
     n_seq: int
     use_local_ba: bool = True
     mesh: Optional[jax.sharding.Mesh] = None
+    # In-flight batch budget for track_batch_async. 1 = the original
+    # one-batch lag (dispatch batch i, then resolve batch i-1: the pull
+    # waits for most of batch i-1's device compute). >=2 resolves batch
+    # i-depth, whose compute AND dispatch-time async D2H copy finished
+    # during earlier calls, so the blocking pull costs ~0 and steady-state
+    # throughput reaches max(device compute, host bookkeeping) per batch.
+    # The constant-velocity baseline stays exactly one frame behind the
+    # newest in-flight pose at any depth (device-side inverse of the
+    # second-newest in-flight batch pose).
+    pipeline_depth: int = 1
     trackers: List[Tracker] = field(init=False)
 
     def __post_init__(self):
@@ -70,6 +81,7 @@ class BatchTracker:
             )
         else:
             self._sharding = None
+        self._pend_q: List[dict] = []  # in-flight batches, oldest first
         self._vstep = jax.jit(
             jax.vmap(
                 partial(fused_track_step, self.cfg, radius=15.0, check_octave=True),
@@ -235,7 +247,7 @@ class BatchTracker:
             self.trackers[s]._depth_host_u16(np.asarray(d))
             for s, d in enumerate(depths)
         ]
-        pend = getattr(self, "_pending", None)
+        pend = self._pend_q[-1] if self._pend_q else None
         host_cols: List[list] = None  # type: ignore[assignment]
         fids, pads = [], []
         for s, tr in enumerate(self.trackers):
@@ -286,6 +298,12 @@ class BatchTracker:
             cols[16] = in_flight_T
             cols[18] = in_flight_T
             prev_gray_dev = pend["gray_dev"]
+            if len(self._pend_q) >= 2:
+                # Velocity baseline = second-newest in-flight batch pose
+                # (device-side rigid inverse, chained, no host sync) — the
+                # host placeholder (inv of the last RESOLVED pose) would be
+                # pipeline_depth frames stale and overshoot the prediction.
+                cols[17] = _inv_pose_jit(self._pend_q[-2]["out"][1])
 
         # Chained LK dispatch feeding the fused step (no host sync).
         if self.cfg.use_lines and self.cfg.lines.lk_recovery:
@@ -324,25 +342,24 @@ class BatchTracker:
             self.cfg,
             [jax.ShapeDtypeStruct(l.shape[1:], l.dtype) for l in leaves],
         )
-        prev = pend
-        self._pending = dict(
+        self._pend_q.append(dict(
             out=out_dev, gray_dev=gray_dev, fids=fids, pads=pads,
             gray_h=gray_h, depth_h=depth_h, poisoned=set(), meta=meta,
-        )
+        ))
         _tm["dispatch"].append(_time.perf_counter() - _t0)
-        if prev is None:
-            return []
+        res: List[TrackResult] = []
         _t0 = _time.perf_counter()
-        res = self._resolve_batch(prev)
-        _tm["resolve"].append(_time.perf_counter() - _t0)
+        while len(self._pend_q) > self.pipeline_depth:
+            res.extend(self._resolve_batch(self._pend_q.pop(0)))
+        if res:
+            _tm["resolve"].append(_time.perf_counter() - _t0)
         return res
 
     def flush(self) -> List[TrackResult]:
-        prev = getattr(self, "_pending", None)
-        if prev is None:
-            return []
-        self._pending = None
-        return self._resolve_batch(prev)
+        res: List[TrackResult] = []
+        while self._pend_q:
+            res.extend(self._resolve_batch(self._pend_q.pop(0)))
+        return res
 
     def _resolve_batch(self, p) -> List[TrackResult]:
         import time as _time
@@ -374,6 +391,6 @@ class BatchTracker:
             if res.state is not TrackState.OK or tr._used_fallback:
                 poisoned_next.append(s)
             results.append(res)
-        if getattr(self, "_pending", None) is not None:
-            self._pending["poisoned"].update(poisoned_next)
+        for d in self._pend_q:
+            d["poisoned"].update(poisoned_next)
         return results

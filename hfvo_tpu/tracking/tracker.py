@@ -881,7 +881,14 @@ class Tracker:
                 # their dispatches are still fine (the matcher window
                 # absorbs cm-scale prediction error) and the pipeline need
                 # not be poisoned (_resolve_oldest checks this).
-                d = np.asarray(T_new, np.float64) @ np.linalg.inv(T_primary)
+                # The failed primary's pose can be any garbage, including
+                # singular — treat it as maximally-distant then.
+                try:
+                    if not np.isfinite(T_primary).all():
+                        raise np.linalg.LinAlgError
+                    d = np.asarray(T_new, np.float64) @ np.linalg.inv(T_primary)
+                except np.linalg.LinAlgError:
+                    d = np.full((4, 4), np.nan)
                 if np.isfinite(d).all():
                     rot = np.clip((np.trace(d[:3, :3]) - 1.0) / 2.0, -1.0, 1.0)
                     # Rotation is weighted by scene depth scale: 0.01 rad

@@ -52,7 +52,11 @@ def set_vocabulary(path: str | None) -> None:
 @jax.jit
 def _compute_words_lsh(desc: jnp.ndarray) -> jnp.ndarray:
     bits = unpack_bits(desc) * 2.0 - 1.0  # (N, 256) bipolar
-    scores = jnp.dot(bits, jnp.asarray(PROTOTYPES).T, preferred_element_type=jnp.float32)
+    # ±1 x ±1 with sums within ±256: exact in bf16 — opt out of the
+    # package-wide f32 matmul default (see ops/hamming.py).
+    scores = jnp.dot(bits, jnp.asarray(PROTOTYPES).T,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.DEFAULT)
     return jnp.argmax(scores, axis=-1).astype(jnp.int32)
 
 

@@ -26,7 +26,12 @@ def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """Pairwise Hamming distances (N1, N2) int32 from packed descriptors."""
     a = unpack_bits(desc_a) * 2.0 - 1.0
     b = unpack_bits(desc_b) * 2.0 - 1.0
-    dot = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    # precision=DEFAULT (bf16 inputs on TPU) is EXACT here: ±1 inputs and
+    # partial sums within ±256 are all representable in bf16/f32-accum, so
+    # this opts out of the package-wide f32 ("highest") default for free
+    # MXU speed (hfvo_tpu/__init__.py).
+    dot = jnp.dot(a, b.T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
     return ((MAX_DIST - dot) * 0.5).astype(jnp.int32)
 
 

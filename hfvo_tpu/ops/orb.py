@@ -116,14 +116,22 @@ def brief_from_patches(
         jnp.round(angles * (N_ANGLE_BINS / (2.0 * jnp.pi))).astype(jnp.int32),
         N_ANGLE_BINS,
     )
+    # precision=DEFAULT (bf16 on TPU): the heaviest matmul of the frame.
+    # Inputs are {-1,0,+1} pair matrices x smoothed uint8 intensities; the
+    # only consumers are the SIGNS of the pair differences, and the
+    # reference's own BRIEF samples integer-rounded intensities
+    # (src/ORBextractor.cc:110-121) — sign flips at |diff| ~ 1 intensity
+    # level are sensor-noise-level for a Hamming-thresholded descriptor.
     diff = jnp.einsum(
         "np,bpj->nbj", flat, jnp.asarray(BIN_DIFF_MATS),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )  # (N, BINS, 256) = v2 - v1 under every rotation bin
     onehot = (bins[:, None] == jnp.arange(N_ANGLE_BINS)[None, :]).astype(
         jnp.float32
     )
-    sel = jnp.einsum("nbj,nb->nj", diff, onehot)  # (N, 256)
+    sel = jnp.einsum("nbj,nb->nj", diff, onehot,
+                     precision=jax.lax.Precision.DEFAULT)  # (N, 256)
     bits = (sel > 0).astype(jnp.uint32)  # (N, 256)
     # Pack 256 bits -> 8 uint32 words (bit j of word k = bit 32k+j).
     shifts = jnp.asarray(np.arange(32, dtype=np.uint32))

@@ -1099,6 +1099,19 @@ class Tracker:
 
     def flush(self) -> list:
         """Resolve all in-flight pipelined frames; returns their TrackResults."""
+        # Group the unstacked tail first: flushing a deep pipe frame by
+        # frame would pay one transport round trip per leftover frame.
+        if getattr(self, "_pipe", None) and self._burst_k() > 1:
+            n_stacked = sum(g["k"] for g in self._stacks)
+            grp = self._pipe[n_stacked:]
+            if len(grp) >= 2:
+                bufs = [p["out"][0] for p in grp]
+                stacked = _stack_packed(*bufs)
+                if hasattr(stacked, "copy_to_host_async"):
+                    stacked.copy_to_host_async()
+                self._stacks.append(
+                    dict(stacked=stacked, bufs=bufs, k=len(grp))
+                )
         results: list = []
         while getattr(self, "_pipe", None):
             results.extend(self._resolve_burst())

@@ -104,6 +104,11 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
     # windows of the same warm stream and report the median window.
     n_win = 3
     win = (n_timed - fill) // n_win
+    if win == 0:
+        # Tiny runs (smoke test) can't fill 3 windows — time one window of
+        # whatever frames remain.
+        n_win = 1
+        win = n_timed - fill
     fps_wins = []
     for w in range(n_win):
         t0 = time.perf_counter()
@@ -173,6 +178,9 @@ def bench_batch(cfg, n_seq, n_warm, n_timed) -> float:
     # as bench_single.
     n_win = 3
     win = n_timed // n_win
+    if win == 0:
+        n_win = 1
+        win = n_timed
     fps_wins = []
     for w in range(n_win):
         t0 = time.perf_counter()

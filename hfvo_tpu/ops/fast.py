@@ -115,16 +115,20 @@ def detect_grid_topk(
     h, w = img.shape
     if jax.default_backend() == "tpu":
         # Fused Pallas kernel: ~30x faster than the jnp formulation on TPU
-        # (whole ring test in VMEM, no boolean intermediates in HBM).
-        from .pallas_fast import fast_score_pallas
+        # (whole ring test in VMEM, no boolean intermediates in HBM); the
+        # dual-threshold variant runs both thresholds in one pass over the
+        # ring stack and emits the combined priority map directly.
+        from .pallas_fast import fast_score_dual_pallas
 
-        s_low = fast_score_pallas(img, float(th_low))
-        s_high = fast_score_pallas(img, float(th_high))
+        combined = fast_score_dual_pallas(
+            img, float(th_low), float(th_high), bonus=1e4
+        )
     else:
         s_low = fast_score(img, th_low)
         s_high = fast_score(img, th_high)
+        combined = jnp.where(s_high > 0, s_high + 1e4, s_low)
     # High-threshold corners dominate ordering; low-threshold ones fill gaps.
-    score = fast_nms(jnp.where(s_high > 0, s_high + 1e4, s_low))
+    score = fast_nms(combined)
     # Edge suppression: reject responses whose structure tensor is
     # edge-like (lambda_min small relative to lambda-scale); keeps corners
     # and stripe crossings, kills slide-prone points along straight edges.

@@ -55,6 +55,44 @@ def _kernel(ring_ref, c_ref, out_ref, *, th: float):
     out_ref[...] = jnp.where(is_corner, score, 0.0)
 
 
+def _kernel_dual(ring_ref, c_ref, out_ref, *, th_low: float, th_high: float,
+                 bonus: float):
+    """Both FAST thresholds in one VMEM pass, combined into the detector's
+    priority score: high-threshold corners get `bonus` added so they always
+    outrank low-threshold fallback corners (see fast.detect_grid_topk).
+    Saves half the kernel launches and ring reloads of two single-threshold
+    passes, and one full-res score map's HBM round trip."""
+    c = c_ref[...]
+    rings = [ring_ref[k] for k in range(16)]
+
+    def score_at(th):
+        bright = [r > c + th for r in rings]
+        dark = [r < c - th for r in rings]
+
+        def contiguous(masks):
+            acc = None
+            for start in range(16):
+                run = masks[start]
+                for k in range(1, ARC_LEN):
+                    run = jnp.logical_and(run, masks[(start + k) % 16])
+                acc = run if acc is None else jnp.logical_or(acc, run)
+            return acc
+
+        is_corner = jnp.logical_or(contiguous(bright), contiguous(dark))
+        bright_s = jnp.zeros_like(c)
+        dark_s = jnp.zeros_like(c)
+        for r, b, d in zip(rings, bright, dark):
+            bright_s = bright_s + jnp.where(b, r - c - th, 0.0)
+            dark_s = dark_s + jnp.where(d, c - th - r, 0.0)
+        return jnp.where(
+            is_corner, jnp.maximum(bright_s, dark_s), 0.0
+        )
+
+    s_low = score_at(th_low)
+    s_high = score_at(th_high)
+    out_ref[...] = jnp.where(s_high > 0, s_high + bonus, s_low)
+
+
 def _pad_and_ring(img: jnp.ndarray):
     """(…, H, W) -> padded center (…, ph, pw) + ring stack (…, 16, ph, pw)."""
     h, w = img.shape[-2:]
@@ -153,3 +191,83 @@ def fast_score_pallas(
 ) -> jnp.ndarray:
     """Dense FAST-9/16 response map via a tiled Pallas kernel."""
     return _make_fast_fn(float(threshold), bool(interpret))(img)
+
+
+def _dual_2d(img, th_low, th_high, bonus, interpret):
+    from jax.experimental import pallas as pl
+
+    h, w = img.shape
+    center, ring, gh, gw, ph, pw = _pad_and_ring(img)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_dual, th_low=th_low, th_high=th_high, bonus=bonus
+        ),
+        grid=(gh, gw),
+        in_specs=[
+            pl.BlockSpec((16, TILE_H, TILE_W), lambda i, j: (0, i, j)),
+            pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((ph, pw), img.dtype),
+        interpret=interpret,
+    )(ring, center)
+    return _mask_interior(out[:h, :w], h, w)
+
+
+def _dual_batched(imgs, th_low, th_high, bonus, interpret):
+    from jax.experimental import pallas as pl
+
+    s, h, w = imgs.shape
+    center, ring, gh, gw, ph, pw = _pad_and_ring(imgs)
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_dual, th_low=th_low, th_high=th_high, bonus=bonus
+        ),
+        grid=(s, gh, gw),
+        in_specs=[
+            pl.BlockSpec(
+                (None, 16, TILE_H, TILE_W), lambda b, i, j: (b, 0, i, j)
+            ),
+            pl.BlockSpec((None, TILE_H, TILE_W), lambda b, i, j: (b, i, j)),
+        ],
+        out_specs=pl.BlockSpec((None, TILE_H, TILE_W), lambda b, i, j: (b, i, j)),
+        out_shape=jax.ShapeDtypeStruct((s, ph, pw), imgs.dtype),
+        interpret=interpret,
+    )(ring, center)
+    return jax.vmap(lambda o: _mask_interior(o[:h, :w], h, w))(out)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dual_fn(th_low: float, th_high: float, bonus: float,
+                  interpret: bool):
+    @jax.custom_batching.custom_vmap
+    def fn(img):
+        return _dual_2d(img, th_low, th_high, bonus, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, imgs):  # noqa: ANN001
+        (img_batched,) = in_batched
+        if not img_batched:
+            return fn(imgs), False
+        return _dual_batched(imgs, th_low, th_high, bonus, interpret), True
+
+    return fn
+
+
+@functools.partial(
+    jax.jit, static_argnames=("th_low", "th_high", "bonus", "interpret")
+)
+def fast_score_dual_pallas(
+    img: jnp.ndarray,
+    th_low: float,
+    th_high: float,
+    bonus: float = 1e4,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Combined dual-threshold FAST priority map, one kernel pass.
+
+    Equals `where(s_high > 0, s_high + bonus, s_low)` for
+    `s_* = fast_score_pallas(img, th_*)`."""
+    return _make_dual_fn(
+        float(th_low), float(th_high), float(bonus), bool(interpret)
+    )(img)

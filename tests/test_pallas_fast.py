@@ -22,3 +22,17 @@ def test_pallas_fast_non_tile_aligned(rng):
     ref = np.asarray(fast_ops.fast_score(img, 15.0))
     pal = np.asarray(fast_score_pallas(img, 15.0, interpret=True))
     np.testing.assert_allclose(ref, pal, atol=1e-4)
+
+
+def test_dual_kernel_matches_two_passes():
+    from hfvo_tpu.ops.pallas_fast import fast_score_dual_pallas
+
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 255, size=(96, 160)).astype(np.float32)
+    lo = np.asarray(fast_score_pallas(img, 7.0, interpret=True))
+    hi = np.asarray(fast_score_pallas(img, 20.0, interpret=True))
+    want = np.where(hi > 0, hi + 1e4, lo)
+    got = np.asarray(
+        fast_score_dual_pallas(img, 7.0, 20.0, bonus=1e4, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)

@@ -7,6 +7,7 @@ tool kept at repo root alongside bench.py.
 """
 from __future__ import annotations
 
+import os
 import time
 
 import jax
@@ -125,3 +126,68 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def orb_breakdown():
+    from hfvo_tpu.ops import fast as fast_ops
+    from hfvo_tpu.ops.image import build_pyramid, gaussian_blur, extract_patches
+    from hfvo_tpu.ops.orb import (
+        PATCH_R, ic_angles_from_patches, brief_from_patches, level_budgets,
+    )
+
+    cfg = tum3_config()
+    T_wc, grays, depths = synthetic.render_sequence(n=2, seed=0)
+    grayf = jnp.asarray(grays[0].astype(np.float32))
+    ocfg = cfg.orb
+
+    pyr_f = jax.jit(lambda g: build_pyramid(g, ocfg.n_levels, ocfg.scale_factor))
+    pyr = pyr_f(grayf)
+    timeit("pyramid", pyr_f, grayf)
+
+    def scores(g):
+        pyr = build_pyramid(g, ocfg.n_levels, ocfg.scale_factor)
+        outs = []
+        for img_l in pyr:
+            if jax.default_backend() == "tpu":
+                from hfvo_tpu.ops.pallas_fast import fast_score_pallas
+                outs.append(fast_score_pallas(img_l, float(ocfg.min_th_fast)))
+                outs.append(fast_score_pallas(img_l, float(ocfg.ini_th_fast)))
+            else:
+                outs.append(fast_ops.fast_score(img_l, ocfg.min_th_fast))
+        return outs
+    timeit("pyr + 2x fast_score all levels", jax.jit(scores), grayf)
+
+    def st(g):
+        pyr = build_pyramid(g, ocfg.n_levels, ocfg.scale_factor)
+        return [fast_ops.shi_tomasi_min_eig(i) for i in pyr]
+    timeit("pyr + shi_tomasi all levels", jax.jit(st), grayf)
+
+    def detect_all(g):
+        pyr = build_pyramid(g, ocfg.n_levels, ocfg.scale_factor)
+        budgets = level_budgets(ocfg.n_features, ocfg.n_levels, ocfg.scale_factor)
+        return [
+            fast_ops.detect_grid_topk(
+                i, float(ocfg.ini_th_fast), float(ocfg.min_th_fast),
+                ocfg.grid_cell, b, ocfg.edge_threshold)
+            for i, b in zip(pyr, budgets) if b > 0
+        ]
+    timeit("pyr + detect_grid_topk all", jax.jit(detect_all), grayf)
+
+    def desc_path(g):
+        pyr = build_pyramid(g, ocfg.n_levels, ocfg.scale_factor)
+        budgets = level_budgets(ocfg.n_features, ocfg.n_levels, ocfg.scale_factor)
+        outs = []
+        for img_l, b in zip(pyr, budgets):
+            if b == 0:
+                continue
+            yx = jnp.zeros((b, 2), jnp.int32) + 40
+            blur = gaussian_blur(img_l, 2.0, 3)
+            patches = extract_patches(blur, yx, PATCH_R)
+            ang = ic_angles_from_patches(patches)
+            outs.append(brief_from_patches(patches, ang))
+        return outs
+    timeit("blur+patches+angles+brief all", jax.jit(desc_path), grayf)
+
+
+if __name__ == "__main__" and os.environ.get("ORB_BREAKDOWN"):
+    orb_breakdown()

@@ -161,10 +161,12 @@ def dense_flow_half(
     volume is (2*search+1)^2 slices of |I0 - shift(I1)| box-filtered with a
     summed-area trick; flow is the softmin-weighted displacement, which
     interpolates sub-(half-)pixel without any argmin gather."""
-    # The cost volume runs in bfloat16: intensities are integers <= 255
-    # (exact in bf16's 8-bit mantissa), so the |I0 - I1| differences are
-    # exact; only the box SUMS round (~0.4% relative), which perturbs the
-    # softmin flow by <= 0.3 px (mean 0.02) — far below the 2.5 px line-fit
+    # The cost volume runs in bfloat16. This is NOT exact: _avg_pool2's
+    # quarter-integer 2x2 means need 10 mantissa bits vs bf16's 8, so the
+    # operands round by up to ~0.5 intensity near 255 before the |I0 - I1|
+    # differences, and the box SUMS round further (~0.4% relative). What
+    # justifies the cast is the MEASURED end-to-end bound: the softmin flow
+    # moves by <= 0.3 px (mean 0.02) vs f32 — far below the 2.5 px line-fit
     # gate downstream — while the MXU runs the banded contractions at 2x
     # the f32 rate (measured 3.6 -> 1.7 ms for the full volume).
     a = _avg_pool2(img0).astype(jnp.bfloat16)

@@ -30,9 +30,10 @@ TILE_H = 128
 TILE_W = 128
 
 
-def _kernel(ring_ref, c_ref, out_ref, *, th: float):
-    c = c_ref[...]  # (TILE_H, TILE_W)
-    rings = [ring_ref[k] for k in range(16)]
+def _fast_score_tile(rings, c, th: float):
+    """Masked FAST-9/16 arc-strength score for one VMEM tile at threshold
+    `th` — shared by the single- and dual-threshold kernels so threshold
+    semantics cannot diverge between them."""
     bright = [r > c + th for r in rings]
     dark = [r < c - th for r in rings]
 
@@ -51,8 +52,13 @@ def _kernel(ring_ref, c_ref, out_ref, *, th: float):
     for r, b, d in zip(rings, bright, dark):
         bright_s = bright_s + jnp.where(b, r - c - th, 0.0)
         dark_s = dark_s + jnp.where(d, c - th - r, 0.0)
-    score = jnp.maximum(bright_s, dark_s)
-    out_ref[...] = jnp.where(is_corner, score, 0.0)
+    return jnp.where(is_corner, jnp.maximum(bright_s, dark_s), 0.0)
+
+
+def _kernel(ring_ref, c_ref, out_ref, *, th: float):
+    c = c_ref[...]  # (TILE_H, TILE_W)
+    rings = [ring_ref[k] for k in range(16)]
+    out_ref[...] = _fast_score_tile(rings, c, th)
 
 
 def _kernel_dual(ring_ref, c_ref, out_ref, *, th_low: float, th_high: float,
@@ -64,32 +70,8 @@ def _kernel_dual(ring_ref, c_ref, out_ref, *, th_low: float, th_high: float,
     passes, and one full-res score map's HBM round trip."""
     c = c_ref[...]
     rings = [ring_ref[k] for k in range(16)]
-
-    def score_at(th):
-        bright = [r > c + th for r in rings]
-        dark = [r < c - th for r in rings]
-
-        def contiguous(masks):
-            acc = None
-            for start in range(16):
-                run = masks[start]
-                for k in range(1, ARC_LEN):
-                    run = jnp.logical_and(run, masks[(start + k) % 16])
-                acc = run if acc is None else jnp.logical_or(acc, run)
-            return acc
-
-        is_corner = jnp.logical_or(contiguous(bright), contiguous(dark))
-        bright_s = jnp.zeros_like(c)
-        dark_s = jnp.zeros_like(c)
-        for r, b, d in zip(rings, bright, dark):
-            bright_s = bright_s + jnp.where(b, r - c - th, 0.0)
-            dark_s = dark_s + jnp.where(d, c - th - r, 0.0)
-        return jnp.where(
-            is_corner, jnp.maximum(bright_s, dark_s), 0.0
-        )
-
-    s_low = score_at(th_low)
-    s_high = score_at(th_high)
+    s_low = _fast_score_tile(rings, c, th_low)
+    s_high = _fast_score_tile(rings, c, th_high)
     out_ref[...] = jnp.where(s_high > 0, s_high + bonus, s_low)
 
 

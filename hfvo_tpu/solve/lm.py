@@ -350,7 +350,7 @@ def pose_optimization(
             return (it < n_iters) & ~done
 
         def body(carry):
-            it, done, T_best, H_b, g_b, c_b, lam, T_try = carry
+            it, done, rej_rel, T_best, H_b, g_b, c_b, lam, T_try = carry
             H, g, c = build_normal_eqs(T_try, inliers, robust)
             ok = (c < c_b) & jnp.all(jnp.isfinite(T_try))
             # Early termination, mirroring g2o Levenberg's stop rule
@@ -360,12 +360,18 @@ def pose_optimization(
             # regardless of problem size, and steady-state tracking
             # converges in 2-4 steps — running the remaining iterations
             # moves the pose by < 1e-6 relative chi2.
-            # Accepted step with negligible gain, OR rejected step that was
-            # worse by a negligible margin (the proposal landed within the
-            # chi2 noise floor of the optimum — further lambda growth only
-            # shrinks steps toward the same point): both are convergence.
+            # Convergence = an ACCEPTED step with negligible gain. A single
+            # rejected near-tie is NOT convergence: an overshooting proposal
+            # (Huber-underestimated curvature in robust rounds) can land
+            # within the noise floor of the *starting* chi2 while lambda
+            # growth + a shorter step would still descend — g2o retries
+            # failures with grown lambda. Only after TWO consecutive
+            # negligible-margin rejections (lambda grew 16x and the proposal
+            # still lands at the optimum's chi2 floor) do we treat the
+            # basin as flat and exit.
             rel = jnp.abs(c_b - c) <= 1e-5 * (c_b + 1e-9)
-            done = rel
+            rej_rel = jnp.where(~ok & rel, rej_rel + 1, 0)
+            done = (ok & rel) | (rej_rel >= 2)
             T_best = jnp.where(ok, T_try, T_best)
             H_b = jnp.where(ok, H, H_b)
             g_b = jnp.where(ok, g, g_b)
@@ -373,13 +379,13 @@ def pose_optimization(
             lam = jnp.where(
                 ok, jnp.maximum(lam * 0.5, 1e-7), jnp.minimum(lam * 4.0, 1e4)
             )
-            return (it + 1, done, T_best, H_b, g_b, c_b, lam,
+            return (it + 1, done, rej_rel, T_best, H_b, g_b, c_b, lam,
                     propose(T_best, H_b, g_b, lam))
 
         carry = (jnp.asarray(0, jnp.int32), jnp.asarray(False),
-                 T0, H0, g0, chi2_0, lam0, T_try0)
+                 jnp.asarray(0, jnp.int32), T0, H0, g0, chi2_0, lam0, T_try0)
         carry = jax.lax.while_loop(cond, body, carry)
-        return carry[2]
+        return carry[3]
 
     T = T_cw0
     pt_inlier = jnp.ones_like(pts.valid)

@@ -129,10 +129,20 @@ def _tile_hough(gray: jnp.ndarray, mag_th: float):
         onehot = (rb[:, :, None] == rho_iota).astype(jnp.float32)
         return None, jnp.einsum("tp,tpb->tb", wt, onehot)
 
-    # lax.scan over theta rows: traces the row computation ONCE (an
-    # unrolled 36-way loop bloats the fused program's HLO and compile).
-    _, rows = jax.lax.scan(vote_row, None, jnp.arange(N_THETA))
-    acc = rows.transpose(1, 0, 2)  # (T, N_THETA, N_RHO)
+    if jax.default_backend() == "tpu":
+        # MXU one-hot-matmul vote (ops/pallas_hough.py): the 36-row scan
+        # serializes (~0.7 ms/frame and no vmap amortization); the kernel
+        # runs the identical vote as per-tile bf16 one-hot matmuls
+        # entirely in VMEM (~1e-2 relative on accumulator values — below
+        # the magnitude spread that ranks peaks).
+        from .pallas_hough import hough_vote_pallas
+
+        acc = hough_vote_pallas(m_t, na_t, mag_th)
+    else:
+        # lax.scan over theta rows: traces the row computation ONCE (an
+        # unrolled 36-way loop bloats the fused program's HLO and compile).
+        _, rows = jax.lax.scan(vote_row, None, jnp.arange(N_THETA))
+        acc = rows.transpose(1, 0, 2)  # (T, N_THETA, N_RHO)
     origins = jnp.stack([ox, oy], axis=1)
     return acc, origins, gx, gy, mag, normal_ang
 
@@ -234,29 +244,32 @@ def detect_lines(
         valid = jnp.pad(valid, (0, capacity - k))
 
     p0, p1, valid = merge_collinear(p0, p1, jnp.where(valid, top_s, 0.0), valid)
-    # Canonical orientation: flip endpooints so the mean perpendicular
+    # Canonical orientation: flip endpoints so the mean perpendicular
     # gradient is positive — the two edges of a dark stripe then get
     # opposite directions and distinct band descriptors (the LBD reference
     # orders bands by the gradient-defined line direction the same way).
-    d = p1 - p0
-    ln = jnp.linalg.norm(d, axis=1, keepdims=True) + 1e-9
-    u = d / ln
-    n_perp = jnp.stack([-u[:, 1], u[:, 0]], axis=1)
-    ts = (jnp.arange(DESC_SAMPLES) + 0.5) / DESC_SAMPLES
-    sample_xy = p0[:, None, :] + d[:, None, :] * ts[None, :, None]
-    from .image import bilinear_sample
-
-    gxs = bilinear_sample(gx, sample_xy)
-    gys = bilinear_sample(gy, sample_xy)
-    gperp = jnp.mean(
-        gxs * n_perp[:, 0:1] + gys * n_perp[:, 1:2], axis=1
-    )
-    flip = gperp < 0
+    #
+    # The flip needs NO extra image sampling: under an endpoint swap the
+    # band sample POINTS are identical (ts and band offsets are symmetric),
+    # so the flipped descriptor is an exact permutation of the unflipped
+    # one — bands reversed, (par+, par-) and (perp+, perp-) swapped — and
+    # the flip decision is the sign of the center band's mean perpendicular
+    # gradient (perp+ minus perp- means; positive normalization preserves
+    # the sign). The previous formulation resampled the midline bilinearly
+    # just for this sign: 8 serialized 4096-row gathers, ~0.33 ms/frame on
+    # TPU, and the only behavioral difference is the sign choice at
+    # |gperp| ~ 0 where orientation is ambiguous anyway.
+    desc_raw = band_descriptors(gray, gx, gy, p0, p1)
+    M = p0.shape[0]
+    db = desc_raw.reshape(M, DESC_BANDS, 4)
+    gperp_mean = db[:, DESC_BANDS // 2, 2] - db[:, DESC_BANDS // 2, 3]
+    flip = gperp_mean < 0
+    desc_flipped = db[:, ::-1, :][:, :, jnp.array([1, 0, 3, 2])].reshape(M, -1)
+    desc = jnp.where(flip[:, None], desc_flipped, desc_raw)
     p0_c = jnp.where(flip[:, None], p1, p0)
     p1_c = jnp.where(flip[:, None], p0, p1)
     d = p1_c - p0_c
     angle = jnp.arctan2(d[:, 1], d[:, 0])  # full [-pi, pi): direction-aware
-    desc = band_descriptors(gray, gx, gy, p0_c, p1_c)
     return LineFeatures(p0_c, p1_c, angle, jnp.where(valid, top_s, 0.0), desc, valid)
 
 

@@ -9,7 +9,10 @@ center tile and performs all 32 threshold comparisons, both 16-start
 contiguous-arc tests, and the arc-strength accumulation entirely in VMEM —
 one pass, no boolean intermediates in HBM.
 
-`fast_score_pallas(img, th)` matches `ops.fast.fast_score(img, th)` exactly.
+`fast_score_pallas(img, th)` matches `ops.fast.fast_score(img, th)`: the
+corner SET is bit-exact (the packed arc test is integer logic); scores agree
+to float accumulation order (~2^-11 relative on TPU, exact in interpret
+mode), which only reorders exact ties in downstream top-k ranking.
 
 Batching: `jax.vmap`'s automatic pallas batching places the batch axis where
 the TPU tiling rules reject it, so the kernel registers a `custom_vmap` rule
@@ -30,23 +33,40 @@ TILE_H = 128
 TILE_W = 128
 
 
+def _contiguous_arc(masks):
+    """True where any ARC_LEN-long circular run of the 16 masks holds.
+
+    Bit-packed log-step run-length test: flags pack into one int32 lane
+    (low 16 bits), the circle unrolls by doubling (x | x << 16), and
+    r_{2k} = r_k & (r_k >> k) halves the remaining length each step —
+    ~20 integer ops vs the 16-start x (ARC_LEN-1)-AND sweep's ~128."""
+    x = None
+    for k, f in enumerate(masks):
+        b = f.astype(jnp.int32) << k
+        x = b if x is None else x | b
+    x = x | (x << 16)
+    run = x
+    need = ARC_LEN
+    step = 1
+    while step * 2 <= need:
+        run = run & (run >> step)
+        step *= 2
+    if step < need:
+        # run holds length-`step` runs; r_step & (r_step >> (need - step))
+        # extends to `need` (valid while need - step <= step).
+        run = run & (run >> (need - step))
+    return (run & 0xFFFF) != 0
+
+
 def _fast_score_tile(rings, c, th: float):
     """Masked FAST-9/16 arc-strength score for one VMEM tile at threshold
     `th` — shared by the single- and dual-threshold kernels so threshold
     semantics cannot diverge between them."""
     bright = [r > c + th for r in rings]
     dark = [r < c - th for r in rings]
-
-    def contiguous(masks):
-        acc = None
-        for start in range(16):
-            run = masks[start]
-            for k in range(1, ARC_LEN):
-                run = jnp.logical_and(run, masks[(start + k) % 16])
-            acc = run if acc is None else jnp.logical_or(acc, run)
-        return acc
-
-    is_corner = jnp.logical_or(contiguous(bright), contiguous(dark))
+    is_corner = jnp.logical_or(
+        _contiguous_arc(bright), _contiguous_arc(dark)
+    )
     bright_s = jnp.zeros_like(c)
     dark_s = jnp.zeros_like(c)
     for r, b, d in zip(rings, bright, dark):
@@ -135,12 +155,18 @@ def _score_batched(imgs: jnp.ndarray, th: float, interpret: bool) -> jnp.ndarray
 
     s, h, w = imgs.shape
     center, ring, gh, gw, ph, pw = _pad_and_ring(imgs)
+    # Ring axis OUTERMOST: XLA's slice-stack fusion naturally emits the
+    # (S, 16, ph, pw) stack in layout {3,2,0,1} — which IS the default
+    # layout of (16, S, ph, pw). Passing it that way (block squeezing the
+    # batch dim) avoids a 0.5 ms full-ring relayout copy per batch-8 step
+    # that the (S, 16, ...) operand order forced.
+    ring = jnp.moveaxis(ring, 1, 0)
     out = pl.pallas_call(
         functools.partial(_kernel, th=th),
         grid=(s, gh, gw),
         in_specs=[
             pl.BlockSpec(
-                (None, 16, TILE_H, TILE_W), lambda b, i, j: (b, 0, i, j)
+                (16, None, TILE_H, TILE_W), lambda b, i, j: (0, b, i, j)
             ),
             pl.BlockSpec((None, TILE_H, TILE_W), lambda b, i, j: (b, i, j)),
         ],
@@ -201,6 +227,8 @@ def _dual_batched(imgs, th_low, th_high, bonus, interpret):
 
     s, h, w = imgs.shape
     center, ring, gh, gw, ph, pw = _pad_and_ring(imgs)
+    # Ring axis outermost — see _score_batched for the layout rationale.
+    ring = jnp.moveaxis(ring, 1, 0)
     out = pl.pallas_call(
         functools.partial(
             _kernel_dual, th_low=th_low, th_high=th_high, bonus=bonus
@@ -208,7 +236,7 @@ def _dual_batched(imgs, th_low, th_high, bonus, interpret):
         grid=(s, gh, gw),
         in_specs=[
             pl.BlockSpec(
-                (None, 16, TILE_H, TILE_W), lambda b, i, j: (b, 0, i, j)
+                (16, None, TILE_H, TILE_W), lambda b, i, j: (0, b, i, j)
             ),
             pl.BlockSpec((None, TILE_H, TILE_W), lambda b, i, j: (b, i, j)),
         ],

@@ -69,25 +69,46 @@ def segment_planes(
     valid_px = depth > 1e-3
 
     # Per-block first/second moments (additive -> exact merged refits).
-    def blockify(a):
-        return (
-            a[: nby * BLOCK, : nbx * BLOCK]
-            .reshape(nby, BLOCK, nbx, BLOCK, -1)
-            .transpose(0, 2, 1, 3, 4)
-            .reshape(nby, nbx, BLOCK * BLOCK, -1)
-        )
-
-    Xb = blockify(cloud)  # (nby, nbx, B*B, 3)
-    Vb = blockify(valid_px[..., None].astype(jnp.float32))[..., 0]  # (nby, nbx, B*B)
-    n_valid = jnp.sum(Vb, axis=-1)  # (nby, nbx)
+    # Contractions run over the in-place (nby, B, nbx, B) axes — the old
+    # blockify transpose to (nby, nbx, B*B) forced layout copies of the
+    # whole 16x16x3 block tensor under vmap (~0.5 ms/step batch-8).
+    Xr = cloud[: nby * BLOCK, : nbx * BLOCK].reshape(
+        nby, BLOCK, nbx, BLOCK, 3
+    )
+    Vr = (
+        valid_px[: nby * BLOCK, : nbx * BLOCK]
+        .reshape(nby, BLOCK, nbx, BLOCK)
+        .astype(jnp.float32)
+    )
+    n_valid = jnp.sum(Vr, axis=(1, 3))  # (nby, nbx)
     n_safe = jnp.maximum(n_valid, 1.0)
     # Two-pass block moments: covariance about each block's OWN mean. The
     # one-pass E[XX^T] - mu mu^T form cancels catastrophically in float32
     # for far/grazing geometry (|X|^2 ~ 100 vs in-plane variances ~ 1e-3)
     # and tilts fitted normals by tenths of a degree.
-    mu_b = jnp.einsum("yxpc,yxp->yxc", Xb, Vb) / n_safe[..., None]
-    Xc = Xb - mu_b[..., None, :]
-    cov_b = jnp.einsum("yxpc,yxp,yxpd->yxcd", Xc, Vb, Xc) / n_safe[..., None, None]
+    #
+    # Moments as NINE explicit masked component sums: einsum formulations
+    # ("yaxbc,yaxb,yaxbd->yxcd") lower to a grouped convolution plus full
+    # block-tensor layout copies (~3 ms/step on the batch-8 tracker); plain
+    # multiply+reduce chains fuse into simple VPU sweeps.
+    comp = [Xr[..., k] for k in range(3)]  # 3 x (nby, B, nbx, B)
+    mu_k = [
+        jnp.sum(ck * Vr, axis=(1, 3)) / n_safe for ck in comp
+    ]  # 3 x (nby, nbx)
+    cen = [
+        ck - mk[:, None, :, None] for ck, mk in zip(comp, mu_k)
+    ]
+    cov_rows = [
+        [
+            jnp.sum(cen[i] * cen[j] * Vr, axis=(1, 3)) / n_safe
+            for j in range(3)
+        ]
+        for i in range(3)
+    ]
+    mu_b = jnp.stack(mu_k, axis=-1)  # (nby, nbx, 3)
+    cov_b = jnp.stack(
+        [jnp.stack(r, axis=-1) for r in cov_rows], axis=-2
+    )  # (nby, nbx, 3, 3)
 
     def plane_from_cov(mu, cov):
         evals, evecs = sym_eig.eigh3(cov + 1e-10 * jnp.eye(3))
@@ -141,16 +162,26 @@ def segment_planes(
 
     sentinel = nby * nbx
 
+    lut_ids = jnp.arange(nby * nbx + 1, dtype=jnp.int32)
+
     def prop_once(label, _):
         best = label
         for (dy, dx), cm in zip(neigh, comp_masks):
             nl = _shift(label, dy, dx, sentinel)
             best = jnp.where(cm, jnp.minimum(best, nl), best)
         # Pointer jumping: adopt the label of the block my label points to —
-        # O(log n) convergence instead of O(grid diameter).
+        # O(log n) convergence instead of O(grid diameter). The lookup runs
+        # as a compare-reduce over the label table, NOT a gather: TPU
+        # row-gathers serialize (~7 ns/row; 2 x 12 jumps cost 1.7 ms/step
+        # on the batch-8 tracker), while the (nby, nbx, nlbl) one-hot
+        # min-select is a fused VPU sweep that vmaps cleanly.
         for _ in range(2):
             flat = jnp.append(best.reshape(-1), sentinel)  # sentinel self-maps
-            best = jnp.minimum(best, flat[best])
+            picked = jnp.min(
+                jnp.where(best[..., None] == lut_ids, flat, sentinel),
+                axis=-1,
+            )
+            best = jnp.minimum(best, picked)
         return best, None
 
     label, _ = jax.lax.scan(prop_once, label, None, length=N_PROP_ITERS)

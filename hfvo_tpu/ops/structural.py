@@ -133,20 +133,29 @@ def line_opt_struct(
     grad = jax.grad(cost)
 
     def run_round(params, par_m, perp_m, par_mm, perp_mm):
+        # The current cost rides in the carry (one eval per iteration, not
+        # two), and the loop is fully unrolled: each fori iteration is tiny
+        # VPU work behind a sequential dependency, so per-iteration loop
+        # sync dominated the stage (~1.6 ms/step on the batch-8 tracker for
+        # both line_opt_struct rounds).
         def body(_, carry):
-            params, lr = carry
+            params, cp, lr = carry
             g0, g1 = grad(params, par_m, perp_m, par_mm, perp_mm)
             new = (params[0] - lr * g0, params[1] - lr * g1)
-            better = cost(new, par_m, perp_m, par_mm, perp_mm) < cost(
-                params, par_m, perp_m, par_mm, perp_mm
-            )
+            cn = cost(new, par_m, perp_m, par_mm, perp_mm)
+            better = cn < cp
             params = jax.tree.map(
                 lambda a, b: jnp.where(better, b, a), params, new
             )
+            cp = jnp.where(better, cn, cp)
             lr = jnp.where(better, lr * 1.2, lr * 0.5)
-            return params, lr
+            return params, cp, lr
 
-        params, _ = jax.lax.fori_loop(0, n_iters, body, (params, jnp.asarray(0.01)))
+        c0 = cost(params, par_m, perp_m, par_mm, perp_mm)
+        params, _, _ = jax.lax.fori_loop(
+            0, n_iters, body, (params, c0, jnp.asarray(0.01)),
+            unroll=True,
+        )
         return params
 
     # Prune pairings that are inconsistent in the *measured* geometry (the

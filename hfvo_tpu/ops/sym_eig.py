@@ -74,9 +74,19 @@ def _eigh_jacobi(A: jnp.ndarray, pairs, sweeps: int):
         for p, q in pairs:
             A, V = _jacobi_rotate(A, V, p, q)
     w = jnp.diagonal(A, axis1=-2, axis2=-1)
-    order = jnp.argsort(w, axis=-1)
-    w = jnp.take_along_axis(w, order, axis=-1)
-    V = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    # Ascending order WITHOUT argsort + take_along_axis: those lower to
+    # serialized row-gathers on TPU (~0.35 ms/step batch-8 just to order
+    # 3-vectors). Each element's rank is how many elements precede it
+    # (stable: ties break by index, matching argsort), and the rank one-hot
+    # applied as a tiny fused matmul permutes both w and V.
+    idx = jnp.arange(n)
+    before = (w[..., :, None] > w[..., None, :]) | (
+        (w[..., :, None] == w[..., None, :]) & (idx[:, None] > idx[None, :])
+    )
+    rank = jnp.sum(before.astype(jnp.int32), axis=-1)  # (..., n)
+    onehot = (rank[..., :, None] == idx).astype(w.dtype)  # (..., n src, n dst)
+    w = jnp.einsum("...ir,...i->...r", onehot, w)
+    V = jnp.einsum("...ir,...ki->...kr", onehot, V)
     return w, V
 
 

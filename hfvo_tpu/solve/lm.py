@@ -121,55 +121,51 @@ def _empty_plane_obs(dtype=jnp.float32) -> PlaneObs:
     )
 
 
+# All term helpers use the lane-major ("_t") residual variants: Jacobians
+# arrive as (k, 6, N) with edges on lanes, so the per-iteration H/g builds
+# below contract as (6, kN) @ (kN, 6) at full lane width. The (N, 3, 6)
+# layout tiled its (3, 6) minor dims to 4x128 TPU blocks and made each LM
+# iteration's elementwise fusions ~10x slower than the math requires
+# (measured ~1.3 ms/step of the batch-8 tracker in J assembly alone).
+
+
 def _point_terms(T, pts: PoseObs, intr):
-    r, J, z = residuals.point_stereo_residual(T, pts.X_w, pts.obs, intr)
-    comp = jnp.stack(
-        [jnp.ones_like(pts.inv_sigma2), jnp.ones_like(pts.inv_sigma2),
-         pts.is_stereo.astype(r.dtype)],
-        axis=-1,
-    )  # (N, 3)
-    chi2 = jnp.sum(r * r * comp, axis=-1) * pts.inv_sigma2
+    r, Jt, z = residuals.point_stereo_terms_t(T, pts.X_w, pts.obs, intr)
+    one = jnp.ones_like(pts.inv_sigma2)
+    comp = jnp.stack([one, one, pts.is_stereo.astype(r.dtype)], axis=0)
+    chi2 = jnp.sum(r * r * comp, axis=0) * pts.inv_sigma2
     ok_depth = z > 1e-3
-    return r, J, comp, chi2, ok_depth
+    return r, Jt, comp, chi2, ok_depth
 
 
 def _point3d_terms(T, pts: PoseObs, inv_sigma2_3d: float):
-    """Metric 3D alignment residual r = T X_w - X_c_obs (N, 3)."""
-    X_c = se3.transform(T, pts.X_w)
-    r = X_c - pts.X_c_obs
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=r.dtype), r.shape[:-1] + (3, 3))
-    J = jnp.concatenate([eye, -se3.hat(X_c)], axis=-1)  # (N, 3, 6)
+    """Metric 3D alignment residual r = T X_w - X_c_obs: (3, N)."""
+    r, Jt = residuals.point3d_terms_t(T, pts.X_w, pts.X_c_obs)
     has = pts.is_stereo if pts.valid_3d is None else pts.valid_3d
-    chi2 = jnp.sum(r * r, axis=-1) * inv_sigma2_3d
-    return r, J, chi2, has
+    chi2 = jnp.sum(r * r, axis=0) * inv_sigma2_3d
+    return r, Jt, chi2, has
 
 
 def _dir_terms(T, dirs: DirObs):
-    """Chord residuals R d_w - d_c (V, 3) with sign folding (line
+    """Chord residuals R d_w - d_c (3, V) with sign folding (line
     directions are sign-ambiguous); rotation-block Jacobian -hat(R d_w),
     translation block exactly zero."""
-    v = dirs.d_w @ T[:3, :3].T  # (V, 3) rows = R d_w
-    s = jnp.sign(jnp.sum(v * dirs.d_c, axis=-1, keepdims=True))
-    d_c = dirs.d_c * jnp.where(s == 0, 1.0, s)
-    r = v - d_c
-    J = jnp.concatenate(
-        [jnp.zeros(v.shape[:-1] + (3, 3), v.dtype), -se3.hat(v)], axis=-1
-    )  # (V, 3, 6)
-    chi2 = jnp.sum(r * r, axis=-1) * dirs.inv_sigma2
-    return r, J, chi2
+    r, Jt = residuals.dir_terms_t(T, dirs.d_w, dirs.d_c)
+    chi2 = jnp.sum(r * r, axis=0) * dirs.inv_sigma2
+    return r, Jt, chi2
 
 
 def _line_terms(T, lines: LineObs, intr):
-    r, J, z = residuals.line_endpoint_residual(T, lines.X_w, lines.line2d, intr)
-    chi2 = (r[..., 0] ** 2) * lines.inv_sigma2
+    r, Jt, z = residuals.line_terms_t(T, lines.X_w, lines.line2d, intr)
+    chi2 = (r ** 2) * lines.inv_sigma2
     ok_depth = z > 1e-3
-    return r, J, chi2, ok_depth
+    return r, Jt, chi2, ok_depth
 
 
 def _plane_terms(T, pl: PlaneObs):
-    r, J, comp = residuals.plane_edge_terms(T, pl.pi_w, pl.pi_obs, pl.kind)
-    chi2 = jnp.sum(r * r * comp * pl.weight, axis=-1)
-    return r, J, comp, chi2
+    r, Jt, comp = residuals.plane_edge_terms_t(T, pl.pi_w, pl.pi_obs, pl.kind)
+    chi2 = jnp.sum(r * r * comp * pl.weight.T, axis=0)
+    return r, Jt, comp, chi2
 
 
 from functools import partial
@@ -240,9 +236,9 @@ def pose_optimization(
         if robust:
             scale = jnp.minimum(1.0, delta_pt / jnp.sqrt(jnp.maximum(chi2, 1e-12)))
             w = w * scale
-        Wc = w[:, None] * comp  # (N, 3)
-        H = jnp.einsum("nki,nk,nkj->ij", J, Wc, J)
-        g = jnp.einsum("nki,nk->i", J, Wc * r)
+        Wc = w[None, :] * comp  # (3, N)
+        H = jnp.einsum("kin,kn,kjn->ij", J, Wc, J)
+        g = jnp.einsum("kin,kn->i", J, Wc * r)
         total = jnp.sum(jnp.where(active, chi2, 0.0))
 
         rl, Jl, chi2l, okdl = _line_terms(T, lines, intr)
@@ -251,18 +247,18 @@ def pose_optimization(
         if robust:
             scalel = jnp.minimum(1.0, delta_ln / jnp.sqrt(jnp.maximum(chi2l, 1e-12)))
             wl = wl * scalel
-        H = H + jnp.einsum("nki,n,nkj->ij", Jl, wl, Jl)
-        g = g + jnp.einsum("nki,nk->i", Jl, wl[:, None] * rl)
+        H = H + jnp.einsum("in,n,jn->ij", Jl, wl, Jl)
+        g = g + jnp.einsum("in,n->i", Jl, wl * rl)
         total = total + jnp.sum(jnp.where(activel, chi2l, 0.0))
 
         rp, Jp, compp, chi2p = _plane_terms(T, planes)
         activep = planes.valid & pl_inlier
-        wp = jnp.where(activep[:, None], planes.weight * compp, 0.0)  # (P, 3)
+        wp = jnp.where(activep[None, :], planes.weight.T * compp, 0.0)  # (3, P)
         if robust:
             scalep = jnp.minimum(1.0, delta_pl / jnp.sqrt(jnp.maximum(chi2p, 1e-12)))
-            wp = wp * scalep[:, None]
-        H = H + jnp.einsum("nki,nk,nkj->ij", Jp, wp, Jp)
-        g = g + jnp.einsum("nki,nk->i", Jp, wp * rp)
+            wp = wp * scalep[None, :]
+        H = H + jnp.einsum("kin,kn,kjn->ij", Jp, wp, Jp)
+        g = g + jnp.einsum("kin,kn->i", Jp, wp * rp)
         total = total + jnp.sum(jnp.where(activep, chi2p, 0.0))
 
         if use_3d:
@@ -272,8 +268,8 @@ def pose_optimization(
             if robust:
                 scale3 = jnp.minimum(1.0, delta_3d / jnp.sqrt(jnp.maximum(chi23, 1e-12)))
                 w3 = w3 * scale3
-            H = H + jnp.einsum("nki,n,nkj->ij", J3, w3, J3)
-            g = g + jnp.einsum("nki,nk->i", J3, w3[:, None] * r3)
+            H = H + jnp.einsum("kin,n,kjn->ij", J3, w3, J3)
+            g = g + jnp.einsum("kin,kn->i", J3, w3[None, :] * r3)
             total = total + jnp.sum(jnp.where(active3, chi23, 0.0))
 
         if dirs is not None:
@@ -285,8 +281,8 @@ def pose_optimization(
                     1.0, delta_vp / jnp.sqrt(jnp.maximum(chi2v, 1e-12))
                 )
                 wv = wv * scalev
-            H = H + jnp.einsum("nki,n,nkj->ij", Jv, wv, Jv)
-            g = g + jnp.einsum("nki,nk->i", Jv, wv[:, None] * rv)
+            H = H + jnp.einsum("kin,n,kjn->ij", Jv, wv, Jv)
+            g = g + jnp.einsum("kin,kn->i", Jv, wv[None, :] * rv)
             total = total + jnp.sum(jnp.where(activev, chi2v, 0.0))
 
         if axes_c is not None:

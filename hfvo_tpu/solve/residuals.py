@@ -207,3 +207,169 @@ def plane_minimal_error(pi_obs: jnp.ndarray, pi_pred: jnp.ndarray) -> jnp.ndarra
     dae = jnp.where(dae < -jnp.pi, dae + 2 * jnp.pi, dae)
     dd = (pi_obs[..., 3] - pi_pred[..., 3])[..., None]
     return jnp.concatenate([dae, dd], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Lane-major ("_t") variants: edge axis INNERMOST.
+#
+# The (N, 3, 6) Jacobian tensors above tile their (3, 6) minor dims into
+# 4x128 TPU blocks — 18 real elements in 512 slots — so every elementwise
+# consumer (each LM iteration's H/g assembly) wasted ~28x memory and lanes
+# (measured ~0.09 ms per batch-8 LM iteration, ~1.3 ms/step). The variants
+# below keep per-component Jacobian rows as (..., 6, N) with edges on lanes;
+# H then assembles as (6, kN) @ (kN, 6) contractions at full lane width.
+# Same math, bit-for-bit residuals.
+# ---------------------------------------------------------------------------
+
+
+def _cross_rows(X_c, a0, a1, a2):
+    """Components of X_c x a for a row-triple given as (N,) components —
+    a @ (-hat(X_c)) == X_c x a, the rotation block of a projected row."""
+    x, y, z = X_c[..., 0], X_c[..., 1], X_c[..., 2]
+    return (y * a2 - z * a1, z * a0 - x * a2, x * a1 - y * a0)
+
+
+def point_stereo_terms_t(
+    T_cw: jnp.ndarray,
+    X_w: jnp.ndarray,
+    obs_uvr: jnp.ndarray,
+    intr: Intrinsics,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Lane-major stereo point terms: (r (3, N), Jt (3, 6, N), z (N)).
+
+    Identical math to point_stereo_residual (row k of J is
+    [a_k | X_c x a_k] for a_k = d r_k / d X_c)."""
+    X_c = se3.transform(T_cw, X_w)
+    x, y, z = X_c[..., 0], X_c[..., 1], X_c[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    iz2 = iz * iz
+    u = intr.fx * x * iz + intr.cx
+    v = intr.fy * y * iz + intr.cy
+    ur = u - intr.bf * iz
+    r = jnp.stack(
+        [u - obs_uvr[..., 0], v - obs_uvr[..., 1], ur - obs_uvr[..., 2]],
+        axis=0,
+    )
+    zero = jnp.zeros_like(x)
+    rows = []
+    for a0, a1, a2 in (
+        (intr.fx * iz, zero, -intr.fx * x * iz2),
+        (zero, intr.fy * iz, -intr.fy * y * iz2),
+        (intr.fx * iz, zero, (intr.bf - intr.fx * x) * iz2),
+    ):
+        c0, c1, c2 = _cross_rows(X_c, a0, a1, a2)
+        rows.append(jnp.stack([a0, a1, a2, c0, c1, c2], axis=0))
+    return r, jnp.stack(rows, axis=0), z
+
+
+def line_terms_t(
+    T_cw: jnp.ndarray,
+    X_w: jnp.ndarray,
+    line_2d: jnp.ndarray,
+    intr: Intrinsics,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Lane-major line-endpoint terms: (r (N,), Jt (6, N), z (N))."""
+    X_c = se3.transform(T_cw, X_w)
+    x, y, z = X_c[..., 0], X_c[..., 1], X_c[..., 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) > 1e-9, z, 1e-9)
+    iz2 = iz * iz
+    u = intr.fx * x * iz + intr.cx
+    v = intr.fy * y * iz + intr.cy
+    a, b, c = line_2d[..., 0], line_2d[..., 1], line_2d[..., 2]
+    r = a * u + b * v + c
+    dl0 = a * intr.fx * iz
+    dl1 = b * intr.fy * iz
+    dl2 = -(a * intr.fx * x + b * intr.fy * y) * iz2
+    c0, c1, c2 = _cross_rows(X_c, dl0, dl1, dl2)
+    return r, jnp.stack([dl0, dl1, dl2, c0, c1, c2], axis=0), z
+
+
+def point3d_terms_t(
+    T_cw: jnp.ndarray, X_w: jnp.ndarray, X_c_obs: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lane-major metric-3D alignment terms: (r (3, N), Jt (3, 6, N));
+    J = [I | -hat(X_c)] rowwise."""
+    X_c = se3.transform(T_cw, X_w)
+    x, y, z = X_c[..., 0], X_c[..., 1], X_c[..., 2]
+    zero = jnp.zeros_like(x)
+    one = jnp.ones_like(x)
+    r = jnp.swapaxes(X_c - X_c_obs, -1, -2)
+    Jt = jnp.stack(
+        [
+            jnp.stack([one, zero, zero, zero, z, -y], axis=0),
+            jnp.stack([zero, one, zero, -z, zero, x], axis=0),
+            jnp.stack([zero, zero, one, y, -x, zero], axis=0),
+        ],
+        axis=0,
+    )
+    return r, Jt
+
+
+def dir_terms_t(
+    T_cw: jnp.ndarray, d_w: jnp.ndarray, d_c_in: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Lane-major direction-chord terms (sign-folded): (r (3, V),
+    Jt (3, 6, V)); rotation block -hat(v) rowwise, translation zero."""
+    v = d_w @ T_cw[:3, :3].T
+    s = jnp.sign(jnp.sum(v * d_c_in, axis=-1, keepdims=True))
+    d_c = d_c_in * jnp.where(s == 0, 1.0, s)
+    r = jnp.swapaxes(v - d_c, -1, -2)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    Jt = jnp.stack(
+        [
+            jnp.stack([zero, zero, zero, zero, z, -y], axis=0),
+            jnp.stack([zero, zero, zero, -z, zero, x], axis=0),
+            jnp.stack([zero, zero, zero, y, -x, zero], axis=0),
+        ],
+        axis=0,
+    )
+    return r, Jt
+
+
+def plane_edge_terms_t(
+    T_cw: jnp.ndarray,
+    pi_w: jnp.ndarray,
+    pi_obs: jnp.ndarray,
+    kind: jnp.ndarray,
+):
+    """Lane-major plane edge taxonomy: (r (3, N), Jt (3, 6, N),
+    comp (3, N)). Same residuals as plane_edge_terms; Jacobian rows are
+    [0 | n_c x dr_dn] (angle), [n_c | 0] (distance, full only),
+    [0 | n_c x n_obs] (vertical)."""
+    R = T_cw[..., :3, :3]
+    t = T_cw[..., :3, 3]
+    n_w = pi_w[..., :3]
+    n_c = n_w @ jnp.swapaxes(R, -1, -2)
+    d_c = pi_w[..., 3] - n_c @ t
+    n_obs = pi_obs[..., :3]
+
+    cx = jnp.cross(n_obs, n_c)
+    r_par = jnp.linalg.norm(cx, axis=-1)
+    dr_dn = jnp.cross(cx, n_obs) / jnp.maximum(r_par, 1e-9)[..., None]
+    rot_par = jnp.cross(n_c, dr_dn)  # (N, 3)
+    rot_vert = jnp.cross(n_c, n_obs)
+    r_d = pi_obs[..., 3] - d_c
+    r_vert = jnp.sum(n_obs * n_c, axis=-1)
+
+    is_full = kind == 0
+    is_par = kind == 1
+    pf = is_par | is_full
+    r0 = jnp.where(pf, r_par, r_vert)
+    rot0 = jnp.where(pf[..., None], rot_par, rot_vert)
+    zero = jnp.zeros_like(r0)
+    r = jnp.stack([r0, zero, jnp.where(is_full, r_d, 0.0)], axis=0)
+    fullf = is_full.astype(r0.dtype)
+    row0 = jnp.stack(
+        [zero, zero, zero, rot0[..., 0], rot0[..., 1], rot0[..., 2]], axis=0
+    )
+    row2 = jnp.stack(
+        [
+            n_c[..., 0] * fullf, n_c[..., 1] * fullf, n_c[..., 2] * fullf,
+            zero, zero, zero,
+        ],
+        axis=0,
+    )
+    Jt = jnp.stack([row0, jnp.zeros_like(row0), row2], axis=0)
+    comp = jnp.stack([jnp.ones_like(r0), zero, fullf], axis=0)
+    return r, Jt, comp

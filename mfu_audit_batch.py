@@ -42,8 +42,15 @@ def main():
     compiled = jax.jit(jax.vmap(one)).lower(*bargs).compile()
     hlo_txt = compiled.as_text()
     op_scope = {}
-    for m in re.finditer(r"%(\S+) = [^\n]*op_name=\"([^\"]+)\"", hlo_txt):
-        op_scope[m.group(1)] = m.group(2)
+    for m in re.finditer(
+        r"%(\S+) = [^\n]*op_name=\"([^\"]+)\""
+        r"(?:[^\n]*source_file=\"([^\"]+)\" source_line=(\d+))?",
+        hlo_txt,
+    ):
+        name, scope, sf, sl = m.groups()
+        if sf:
+            scope = f"{scope} @{sf.split('/')[-1]}:{sl}"
+        op_scope[name] = scope
 
     out = compiled(*bargs)
     jax.block_until_ready(out)
@@ -91,9 +98,10 @@ def main():
         cat = mfu_audit.classify(key, full_name[key])
         shape = re.search(r"= (\S+)", full_name[key])
         sc = op_scope.get(key, "")
+        src = sc.split("@")[-1] if "@" in sc else "?"
         print(f"{us:9.1f} us  {calls/args_cli.reps:5.1f}x  {cat:16s} "
-              f"{key[:36]:36s} {(shape.group(1)[:34] if shape else ''):34s} "
-              f"{mfu_audit.scope_of(sc) if sc else '?'}")
+              f"{key[:32]:32s} {(shape.group(1)[:30] if shape else ''):30s} "
+              f"{src}")
     print(f"trace dir: {d}")
 
 

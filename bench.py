@@ -46,13 +46,21 @@ def _enable_compile_cache() -> None:
 
 
 def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
-                 pipeline_depth: int | None = None) -> float:
+                 pipeline_depth: int | None = None,
+                 use_local_ba: bool = False,
+                 use_loop_closing: bool = False,
+                 tag: str = "single") -> float:
     from hfvo_tpu.tracking.tracker import Tracker
 
-    # Local BA runs on a background thread in the reference and is excluded
-    # from its "Mean Tracking Time" metric (rgbd_tum.cc:159-166); loop
-    # closing ships deactivated in the reference (LoopClosing.cc:57-101).
-    # Measure the tracking path under the same protocol.
+    # Default mode: local BA runs on a background thread in the reference
+    # and is excluded from its "Mean Tracking Time" metric
+    # (rgbd_tum.cc:159-166); loop closing ships deactivated in the
+    # reference (LoopClosing.cc:57-101). Measure the tracking path under
+    # the same protocol. `use_local_ba=True` instead benches the SHIPPED
+    # configuration (cli.py defaults): keyframe insertion, triangulation,
+    # fusion, local BA and loop detection all share the one chip with
+    # tracking — the reference gets that work "for free" on spare CPU
+    # cores; a single-chip deployment cannot.
     #
     # pipeline_depth=24 (default, HFVO_BENCH_PIPE to override): deep
     # pipeline + group resolution (Tracker.resolve_burst): every 12 frames
@@ -67,7 +75,8 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
     # configuration, not a low-latency one.
     if pipeline_depth is None:
         pipeline_depth = int(os.environ.get("HFVO_BENCH_PIPE", "24"))
-    tracker = Tracker(cfg, use_local_ba=False, use_loop_closing=False,
+    tracker = Tracker(cfg, use_local_ba=use_local_ba,
+                      use_loop_closing=use_loop_closing,
                       pipeline_depth=pipeline_depth)
     # Warmup: initialize + compile/cache-load every program the loop can
     # touch — the steady path, the wide-window recovery variant, and the
@@ -121,8 +130,8 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
         # of the window (the pipe is equally full at both window edges).
         fps_wins.append(win / dt)
     tracker.flush()
-    _print_phases("single", getattr(tracker, "step_times", {}), n_timed)
-    print(f"[bench single windows] "
+    _print_phases(tag, getattr(tracker, "step_times", {}), n_timed)
+    print(f"[bench {tag} windows] "
           + " ".join(f"{f:.1f}" for f in fps_wins), file=sys.stderr)
     return float(np.median(fps_wins))
 
@@ -225,6 +234,23 @@ def main() -> None:
 
     single_fps = bench_single(cfg, grays, depths, T_wc, n_warm, n_timed)
 
+    # Latency-comparable configuration: pipeline depth 2 bounds result lag
+    # to ~2 frames (~67 ms at 30 fps) — the number to quote when latency
+    # matters, vs the deep-pipeline throughput headline (VERDICT r4 #5).
+    latency_fps = bench_single(
+        cfg, grays, depths, T_wc, n_warm, n_timed,
+        pipeline_depth=2, tag="latency_d2",
+    )
+
+    # SHIPPED configuration: tracking + keyframe mapping + local BA + loop
+    # detection all on the one chip (cli.py defaults) — quantifies what
+    # the reference's tracking/mapping CPU-thread split (System.cc:96-114)
+    # costs when a single accelerator does everything.
+    system_fps = bench_single(
+        cfg, grays, depths, T_wc, n_warm, n_timed,
+        use_local_ba=True, use_loop_closing=True, tag="system",
+    )
+
     n_seq = int(os.environ.get("HFVO_BENCH_SEQS", "8"))
     batch_fps = bench_batch(cfg, n_seq, n_warm=6, n_timed=24)
 
@@ -237,6 +263,9 @@ def main() -> None:
                 "vs_baseline": round(batch_fps / BASELINE_FPS, 3),
                 "single_seq_fps": round(single_fps, 2),
                 "single_seq_vs_baseline": round(single_fps / BASELINE_FPS, 3),
+                "latency_d2_fps": round(latency_fps, 2),
+                "system_fps": round(system_fps, 2),
+                "system_vs_baseline": round(system_fps / BASELINE_FPS, 3),
             }
         )
     )

@@ -54,7 +54,7 @@ def _sensorize(gray, depth, rng, noisy=True):
 
 
 def run_sequence(cfg, scene, T_wc, use_local_ba, use_loop_closing, noisy=True,
-                 seed=0):
+                 seed=0, drift_win: int = 0):
     import jax.numpy as jnp
 
     from hfvo_tpu.io import evaluate
@@ -77,8 +77,69 @@ def run_sequence(cfg, scene, T_wc, use_local_ba, use_loop_closing, noisy=True,
     n = len(est)
     ts = np.arange(n) / 30.0
     ape = evaluate.ate(ts, T_wc[:n], ts, est, align="origin")
-    return dict(ate_rmse=float(ape.rmse), n_frames=n, n_lost=n_lost,
-                wall_s=wall)
+    out = dict(ate_rmse=float(ape.rmse), n_frames=n, n_lost=n_lost,
+               wall_s=wall, n_kf_total=int(tr.vomap.kf_order_counter),
+               n_kf_live=int(tr.vomap.n_keyframes()))
+    if drift_win:
+        # Per-window drift: origin-align each `drift_win`-frame window
+        # independently — the ATE accumulated WITHIN the window, i.e. the
+        # local drift rate, independent of earlier trajectory error.
+        drift = []
+        for s in range(0, n - drift_win + 1, drift_win):
+            e = slice(s, s + drift_win)
+            w_ape = evaluate.ate(ts[e], T_wc[:n][e], ts[e], est[e],
+                                 align="origin")
+            drift.append(round(float(w_ape.rmse), 4))
+        out["drift_per_window"] = drift
+    return out
+
+
+def run_endurance(frames: int = 300):
+    """300+-frame FULL-stack endurance (VERDICT r4 #3): multi-orbit revisit
+    paths exercising KF churn, culling, slot recycling and repeated loop
+    closures, on both the textured and the low-texture (headline-regime)
+    room. Reports total ATE + per-100-frame drift windows."""
+    from hfvo_tpu.config import tum3_config
+    from hfvo_tpu.testing import synthetic
+
+    cfg = tum3_config()
+    # step 2pi/100: `frames`/100 full orbits -> constant revisits.
+    T_wc = synthetic.orbit_trajectory(frames, step=2 * np.pi / 100.0)
+    rows = []
+    for name, scene in (
+        ("textured orbit", synthetic.make_room(0, stripes=True)),
+        ("low-texture orbit", synthetic.make_room(0, low_texture=True)),
+    ):
+        r = run_sequence(cfg, scene, T_wc, use_local_ba=True,
+                         use_loop_closing=True, drift_win=100)
+        rows.append((f"endurance {frames}f full hybrid + loop: {name}", r))
+    return rows
+
+
+def run_ablation(frames: int = 40):
+    """Error budget of the headline str_notex number (VERDICT r4 #4): one
+    knob off at a time from the full-hybrid operating point."""
+    from hfvo_tpu.config import tum3_config
+    from hfvo_tpu.testing import synthetic
+
+    cfg = tum3_config()
+    T_wc = synthetic.orbit_trajectory(frames)
+    lowtex = synthetic.make_room(0, low_texture=True)
+    variants = [
+        ("full hybrid (headline op point)", cfg, True, False, True),
+        ("noise-free sensors", cfg, True, False, False),
+        ("lines OFF", cfg.replace(use_lines=False), True, False, True),
+        ("planes OFF", cfg.replace(use_planes=False), True, False, True),
+        ("Manhattan OFF", cfg.replace(use_manhattan=False), True, False, True),
+        ("loop closing ON", cfg, True, True, True),
+        ("local BA OFF", cfg, False, False, True),
+    ]
+    rows = []
+    for name, c, ba, loop, noisy in variants:
+        r = run_sequence(c, lowtex, T_wc, use_local_ba=ba,
+                         use_loop_closing=loop, noisy=noisy)
+        rows.append((f"str_notex ablation: {name}", r))
+    return rows
 
 
 def main():
@@ -91,6 +152,10 @@ def main():
                     "10+ minutes each")
     ap.add_argument("--json", action="store_true",
                     help="print one JSON line instead of markdown")
+    ap.add_argument("--endurance", action="store_true",
+                    help="300-frame full-stack endurance + drift windows")
+    ap.add_argument("--ablate", action="store_true",
+                    help="error-budget ablation of the str_notex headline")
     args = ap.parse_args()
 
     if not args.tpu:
@@ -102,6 +167,25 @@ def main():
 
     from hfvo_tpu.config import tum3_config
     from hfvo_tpu.testing import synthetic
+
+    if args.endurance or args.ablate:
+        rows = []
+        if args.endurance:
+            rows += run_endurance(max(args.frames, 300))
+        if args.ablate:
+            rows += run_ablation(min(args.frames, 40))
+        if args.json:
+            print(json.dumps({name: r for name, r in rows}))
+        else:
+            print("| Config | frames | ATE RMSE (m) | lost | "
+                  "drift/100f (m) |")
+            print("|---|---|---|---|---|")
+            for name, r in rows:
+                drift = r.get("drift_per_window")
+                ds = " / ".join(f"{d:.3f}" for d in drift) if drift else "—"
+                print(f"| {name} | {r['n_frames']} | {r['ate_rmse']:.4f} | "
+                      f"{r['n_lost']} | {ds} |")
+        return
 
     n = args.frames
     cfg = tum3_config()

@@ -407,3 +407,28 @@ def band_descriptors(
 def line_distance_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """Cosine distance in [0, 2] between band descriptors (MXU matmul)."""
     return 1.0 - jnp.dot(desc_a, desc_b.T, preferred_element_type=jnp.float32)
+
+
+# Static pair list for LBD-style binarization: all ordered (i, j), i < j,
+# of the 36 band statistics in lexicographic order; the first 256 become
+# bits. The reference binarizes its float LBD the same way — pairwise
+# comparisons of descriptor elements (Thirdparty/line_descriptor/src/
+# binary_descriptor_custom.cpp::computeBinary, bit = d[i] > d[j]).
+_BIN_PAIRS = np.asarray(
+    [(i, j) for i in range(4 * DESC_BANDS) for j in range(i + 1, 4 * DESC_BANDS)][:256],
+    np.int32,
+)
+
+
+def binarize_band_desc(desc: jnp.ndarray) -> jnp.ndarray:
+    """Float band descriptor (M, 4*DESC_BANDS) -> 256-bit binarized LBD
+    (M, 8) uint32, bit-packed in ops/hamming.unpack_bits order (bit k of
+    word w = global bit w*32 + k). Match with hamming.hamming_matrix."""
+    pa = desc[:, _BIN_PAIRS[:, 0]]
+    pb = desc[:, _BIN_PAIRS[:, 1]]
+    bits = (pa > pb).astype(jnp.uint32)  # (M, 256)
+    shifts = jnp.asarray(np.arange(32, dtype=np.uint32))
+    words = jnp.sum(
+        bits.reshape(desc.shape[0], 8, 32) << shifts[None, None, :], axis=-1
+    )
+    return words.astype(jnp.uint32)

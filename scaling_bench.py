@@ -23,21 +23,30 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
 import time
 
-# Must precede the first jax import anywhere.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+_ON_TPU = "--tpu" in sys.argv
+if not _ON_TPU:
+    # Must precede the first jax import anywhere.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-# The harness pins another platform via sitecustomize (see tests/conftest.py);
-# env vars alone don't stick — re-update before any backend initializes.
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU:
+    # The harness pins another platform via sitecustomize (see
+    # tests/conftest.py); env vars alone don't stick — re-update before any
+    # backend initializes.
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 
@@ -109,9 +118,26 @@ def bench_dist_pose_lm(ndev: int, iters: int) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--tpu", action="store_true",
+                    help="run the SAME fixed problems on the real chip with "
+                    "a 1-device mesh: the absolute ms/step anchor for the "
+                    "virtual-mesh overhead curve (SCALING.md real-chip "
+                    "column; VERDICT r4 #7)")
     args = ap.parse_args()
 
     import jax
+
+    if args.tpu:
+        assert jax.default_backend() == "tpu", jax.default_backend()
+        print("| Optimizer | devices | ms/step (real TPU v5e) |")
+        print("|---|---|---|")
+        for name, fn in (
+            ("dist local BA (landmark-sharded Schur)", bench_dist_ba),
+            ("dist pose LM (seq x edge sharded)", bench_dist_pose_lm),
+        ):
+            t = fn(1, args.iters)
+            print(f"| {name} | 1 | {t * 1000:.1f} |")
+        return
 
     assert jax.default_backend() == "cpu" and len(jax.devices()) == 8
 

@@ -44,3 +44,30 @@ def test_endurance_past_kf_capacity():
     ts = np.arange(n) / 30.0
     ape = evaluate.ate(ts, T_wc, ts[: len(traj)], traj, align="origin")
     assert ape.rmse < 0.25, f"endurance ATE {ape.rmse:.3f} m"
+
+
+def test_endurance_full_stack_300():
+    """300 frames of the COMPLETE stack (points+lines+planes+Manhattan,
+    local BA, loop closing) over 3 orbits with full sensor noise: KF churn,
+    culling, slot recycling and repeated loop closures must keep drift
+    bounded (VERDICT r4 #3; published numbers in BASELINE.md: ATE 0.0085 m,
+    drift <= 0.009 m per 100-frame window on this exact sequence)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from accuracy_bench import run_sequence
+
+    n = 300
+    cfg = tum3_config()
+    T_wc = synthetic.orbit_trajectory(n, step=2 * np.pi / 100.0)
+    scene = synthetic.make_room(0, stripes=True)
+    r = run_sequence(cfg, scene, T_wc, use_local_ba=True,
+                     use_loop_closing=True, drift_win=100)
+    assert r["n_lost"] == 0, r
+    assert r["ate_rmse"] <= 0.05, r
+    assert max(r["drift_per_window"]) <= 0.04, r
+    # A real map was built and stayed bounded. (Slot RECYCLING under forced
+    # churn is test_endurance_past_kf_capacity's job — here the production
+    # KF policy correctly inserts nothing once revisits cover the map.)
+    assert 8 <= r["n_kf_total"] <= 64, r

@@ -151,9 +151,14 @@ class BatchTracker:
             stacked = [
                 self._shard_dev(jnp.stack(cols)) for cols in zip(*per_seq_args)
             ]
-            packed, _T_dev, _feed = self._vstep(*stacked)
+            packed, packed_big, _T_dev, _feed = self._vstep(*stacked)
             meta = fused_out_meta(self.cfg, per_seq_args[0])
-            outs = pack_utils.unpack(jax.device_get(packed), meta, batch=True)
+            main_h, big_h = jax.device_get((packed, packed_big))
+            outs = pack_utils.fill_big(
+                pack_utils.unpack_main(main_h, meta, batch=True),
+                pack_utils.unpack_big_leaves(big_h, meta, batch=True),
+                meta,
+            )
             for bi, s in enumerate(batch_ids):
                 tr = self.trackers[s]
                 out_s = jax.tree.map(lambda a: a[bi], outs)
@@ -294,7 +299,7 @@ class BatchTracker:
             cols[18] = self._stack_dev(host_cols[18])
             prev_gray_dev = self._stack_dev(host_cols[24])
         else:
-            in_flight_T = pend["out"][1]  # (S, 4, 4) device pose output
+            in_flight_T = pend["out"][2]  # (S, 4, 4) device pose output
             cols[16] = in_flight_T
             cols[18] = in_flight_T
             prev_gray_dev = pend["gray_dev"]
@@ -303,7 +308,7 @@ class BatchTracker:
                 # (device-side rigid inverse, chained, no host sync) — the
                 # host placeholder (inv of the last RESOLVED pose) would be
                 # pipeline_depth frames stale and overshoot the prediction.
-                cols[17] = _inv_pose_jit(self._pend_q[-2]["out"][1])
+                cols[17] = _inv_pose_jit(self._pend_q[-2]["out"][2])
 
         # Chained LK dispatch feeding the fused step (no host sync).
         if self.cfg.use_lines and self.cfg.lines.lk_recovery:
@@ -368,7 +373,17 @@ class BatchTracker:
         _tm = getattr(self, "step_times", None)
         if _tm is not None:
             _tm.setdefault("pull", []).append(_time.perf_counter() - _t0)
-        outs = pack_utils.unpack(buf_host, p["meta"], batch=True)
+        outs = pack_utils.unpack_main(buf_host, p["meta"], batch=True)
+        packed_big = p["out"][1]  # (S, nbytes) device buffer, pulled lazily
+        big_rows: dict = {}
+
+        def _big_row(s):
+            # One device_get per row that actually needs its keyframe-only
+            # leaves (~1/7 of rows per step); cached within the step.
+            if s not in big_rows:
+                big_rows[s] = jax.device_get(packed_big[s])
+            return big_rows[s]
+
         results: List[TrackResult] = []
         poisoned_next = []
         for s, tr in enumerate(self.trackers):
@@ -384,9 +399,13 @@ class BatchTracker:
                 else:
                     tr._pads = p["pads"][s]
                     out_s = jax.tree.map(lambda a: a[s], outs)
+                    tr._big_ctx = (
+                        (lambda s=s: _big_row(s)), p["meta"], out_s,
+                    )
                     five = tr.finish_step(out_s, gray=p["gray_h"][s])
                     res = tr._post_track(five, p["gray_h"][s], p["depth_h"][s])
             finally:
+                tr._big_ctx = None
                 tr.frame_id = saved_fid
             if res.state is not TrackState.OK or tr._used_fallback:
                 poisoned_next.append(s)

@@ -498,14 +498,19 @@ def _fused_track_step_impl(
 @partial(jax.jit, static_argnames=("cfg", "radius", "check_octave"))
 def fused_track_step(cfg: VOConfig, *args, radius: float = 15.0,
                      check_octave: bool = True):
-    """Jitted per-frame program returning its result PACKED.
+    """Jitted per-frame program returning its result PACKED, split in two.
 
-    Returns (packed, T_cw, feed_dev):
-    - `packed`: the full structured result concatenated into one flat
-      buffer per dtype (utils/pack.py) — over an RTT-bound transport a
+    Returns (packed_main, packed_big, T_cw, feed_dev):
+    - `packed_main`: the per-frame essentials concatenated into one flat
+      uint8 buffer (utils/pack.py) — over an RTT-bound transport a
       per-leaf `device_get` of the ~44-leaf tree costs ~44 round trips
-      (~75 ms measured) vs <= 4 for the packed form. Unpack on host with
-      `unpack(jax.device_get(packed), fused_out_meta(cfg, args, ...))`.
+      (~75 ms measured) vs one for the packed form. Unpack on host with
+      `unpack_main(jax.device_get(packed_main), fused_out_meta(...))`.
+    - `packed_big`: the keyframe-only leaves (descriptors, uv/obs,
+      angles, octaves — ~70% of the result's bytes, consumed by the host
+      only on KF insertion / relocalization / viz). Pulled lazily via
+      `Tracker._materialize_feats` on the ~1/7 frames that need it; on a
+      bandwidth-bound transport this is most of the steady-state wire.
     - `T_cw`: the pose as its own device array so the pipelined tracker can
       chain the next frame's prediction on it without pulling anything.
     - `feed_dev`: (p0, p1, desc, valid) of this frame's detected segments,
@@ -515,7 +520,7 @@ def fused_track_step(cfg: VOConfig, *args, radius: float = 15.0,
     out = _fused_track_step_impl(
         cfg, *args, radius=radius, check_octave=check_octave
     )
-    packed = pack_utils.pack(out)
+    packed_main, packed_big = pack_utils.pack_split(out)
     line_out = out[6]
     feed_dev = ()
     if line_out is not None:
@@ -526,7 +531,7 @@ def fused_track_step(cfg: VOConfig, *args, radius: float = 15.0,
         # recompiles the whole program as a second variant (observed as
         # 40 s mid-run stalls in the round-4 bench).
         feed_dev = (lf.p0, lf.p1, lf.desc.astype(jnp.float32), lf.valid)
-    return packed, out[0], feed_dev
+    return packed_main, packed_big, out[0], feed_dev
 
 
 _FUSED_META: dict = {}
@@ -534,8 +539,8 @@ _FUSED_META: dict = {}
 
 def fused_out_meta(cfg: VOConfig, args, radius: float = 15.0,
                    check_octave: bool = True):
-    """Static (treedef, leaf spec) of the UNPACKED fused result, for
-    `unpack`. Cached per (cfg, arg shapes)."""
+    """Static (treedef, leaf spec, big-leaf mask) of the UNPACKED fused
+    result, for `unpack_main`/`fill_big`. Cached per (cfg, arg shapes)."""
     key = (
         cfg, radius, check_octave,
         tuple((tuple(a.shape), str(a.dtype)) for a in args),
@@ -549,7 +554,7 @@ def fused_out_meta(cfg: VOConfig, args, radius: float = 15.0,
             ),
             *args,
         )
-        m = pack_utils.tree_spec(sh)
+        m = pack_utils.tree_spec_split(sh)
         _FUSED_META[key] = m
     return m
 
@@ -686,6 +691,7 @@ class Tracker:
         self._last_viz_kp = None
         self._pipe: list = []  # in-flight pipelined frames (track_rgbd_async)
         self._stacks: list = []  # pre-stacked result groups (resolve_burst)
+        self._big_ctx = None  # lazily-pulled keyframe-only leaves context
         self._used_fallback = False
         self._pads = (None, None)
         # World Manhattan rotation (columns = axes) once initialized
@@ -835,6 +841,26 @@ class Tracker:
             jnp.zeros((1024,), jnp.float32),
             jnp.full((1024,), -1, jnp.int32),
         )
+        # Loop-closure pose graph at its smallest fixed capacity (K_CAP=16,
+        # E_CAP=32 — loop_closing.py pads to powers of two): the first real
+        # closure otherwise compiles it mid-run (observed as a multi-second
+        # stall window in the system-configuration bench).
+        if self.use_loop_closing:
+            from ..solve.pose_graph import PoseGraph, optimize_pose_graph
+
+            Kc, Ec = 16, 32
+            eye = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32), (Kc, 4, 4))
+            pgw = PoseGraph(
+                T_cw=eye,
+                free=jnp.zeros((Kc,), bool).at[1:4].set(True),
+                e_i=jnp.zeros((Ec,), jnp.int32),
+                e_j=jnp.zeros((Ec,), jnp.int32),
+                e_Tij=jnp.broadcast_to(
+                    jnp.eye(4, dtype=jnp.float32), (Ec, 4, 4)
+                ),
+                e_weight=jnp.zeros((Ec,), jnp.float32),
+            )
+            jax.block_until_ready(optimize_pose_graph(pgw))
         # EPnP fallback of relocalization (reference: src/Tracking.cc:3805).
         from ..solve.pnp import pnp_ransac
 
@@ -863,6 +889,40 @@ class Tracker:
                 self.velocity = np.eye(4, dtype=np.float32)
         five = self._track_local_map(gray, depth, T_pred)
         return self._post_track(five, gray, depth)
+
+    def _materialize_feats(self, feats: FrameFeatures) -> FrameFeatures:
+        """Fill the lazily-pulled keyframe-only leaves (descriptors, uv,
+        obs, angles, octaves — see utils/pack.BIG_LEAF_NAMES) of the frame
+        currently being resolved. No-op when `feats` is already complete
+        (synchronous paths). One device_get of the big buffer; also patches
+        `_last_line_out` and `_prev_line_feed` so the keyframe path sees
+        complete line features."""
+        if feats.desc is not None:
+            return feats
+        ctx = getattr(self, "_big_ctx", None)
+        assert ctx is not None, "partial feats outside a resolve context"
+        big_src, meta, out_partial = ctx
+        if callable(big_src):
+            big_src = big_src()
+        big_host = (
+            big_src if isinstance(big_src, np.ndarray)
+            else jax.device_get(big_src)
+        )
+        full = pack_utils.fill_big(
+            out_partial, pack_utils.unpack_big_leaves(big_host, meta), meta
+        )
+        feats_full = full[5]
+        line_out = full[6]
+        if line_out is not None and self._last_line_out is not None:
+            lf_full = line_out[0]
+            _lf, l3d, ln_per_seg = self._last_line_out
+            self._last_line_out = (lf_full, l3d, ln_per_seg)
+            if self._prev_line_feed is not None and \
+                    self._prev_line_feed.get("fid") == self.frame_id:
+                self._prev_line_feed["desc"] = np.asarray(lf_full.desc)
+        # Cache into the context so repeated calls in one resolve are free.
+        self._big_ctx = (big_host, meta, full)
+        return feats_full
 
     def _post_track(self, five, gray, depth) -> TrackResult:
         """Everything after the primary fused-step result: fallback chain,
@@ -910,6 +970,7 @@ class Tracker:
             # TrackReferenceKeyFrame, src/Tracking.cc:1831). Descriptor-only
             # matches can produce false consensus, so acceptance demands a
             # much larger inlier count than the normal gate.
+            feats = self._materialize_feats(feats)
             T_ref = self._track_reference_kf(feats)
             if T_ref is not None:
                 ok, T_new, pt_per_kp, n_matches, feats = self._track_local_map(
@@ -927,6 +988,7 @@ class Tracker:
                 if self.cfg.use_manhattan and not self.manh_valid:
                     self._try_coarse_manhattan(depth)
                 t0 = time.perf_counter()
+                feats = self._materialize_feats(feats)
                 self._create_keyframe(feats, pt_per_kp)
                 self._stage("kf_insert", time.perf_counter() - t0)
                 # Reference ratio rule compares against the reference KF's
@@ -1072,8 +1134,8 @@ class Tracker:
             # frames old and the prediction would overshoot by (P-1) x
             # velocity. Its inverse is computed by a chained one-op device
             # jit — still no host sync.
-            T_pred = self._pipe[-1]["out"][1]  # in-flight device pose
-            T_pred_b = (_inv_pose_jit(self._pipe[-2]["out"][1])
+            T_pred = self._pipe[-1]["out"][2]  # in-flight device pose
+            T_pred_b = (_inv_pose_jit(self._pipe[-2]["out"][2])
                         if len(self._pipe) >= 2
                         else np.linalg.inv(self.T_cw).astype(np.float32))
         args = self.prepare_step_args(gray_u8, depth_u16, T_pred, T_pred_b)
@@ -1175,13 +1237,17 @@ class Tracker:
         self.frame_id = p["fid"]
         try:
             self._pads = p["pads"]  # pad maps as of this frame's dispatch
-            packed, _T_dev, feed_dev = p["out"]
+            packed, packed_big, _T_dev, feed_dev = p["out"]
             if out_host_packed is None:
                 out_host_packed = jax.device_get(packed)
-            out_host = pack_utils.unpack(out_host_packed, p["meta"])
+            out_host = pack_utils.unpack_main(out_host_packed, p["meta"])
+            # Keyframe-only leaves stay on device; _materialize_feats pulls
+            # them on the ~1/7 frames whose host path needs them.
+            self._big_ctx = (packed_big, p["meta"], out_host)
             five = self.finish_step(out_host, gray=p["gray"], feed_dev=feed_dev)
             res = self._post_track(five, p["gray"], p["depth"])
         finally:
+            self._big_ctx = None
             self.frame_id = saved_fid
         results = [res]
         # A fallback whose recovered pose landed within the matcher's
@@ -1389,15 +1455,20 @@ class Tracker:
         src/Tracking.cc:2251, :2816) — all in one fused device call."""
         t0 = time.perf_counter()
         args = self.prepare_step_args(gray, depth, T_pred)
-        packed, _T_dev, feed_dev = fused_track_step(
+        packed, packed_big, _T_dev, feed_dev = fused_track_step(
             self.cfg, *args, radius=radius, check_octave=check_octave
         )
-        # ONE synchronization point per frame: pull the packed result
-        # (<= 4 dtype buffers — per-leaf pulls of the ~44-leaf tree would
+        # ONE synchronization point per frame: pull both packed buffers in
+        # a single device_get (per-leaf pulls of the ~44-leaf tree would
         # cost a round trip each over the tunnel) and rebuild the tree.
-        out_host = pack_utils.unpack(
-            jax.device_get(packed),
-            fused_out_meta(self.cfg, args, radius, check_octave),
+        # The synchronous path always materializes the keyframe-only
+        # leaves — it IS the fallback/KF-heavy path.
+        meta = fused_out_meta(self.cfg, args, radius, check_octave)
+        main_h, big_h = jax.device_get((packed, packed_big))
+        out_host = pack_utils.fill_big(
+            pack_utils.unpack_main(main_h, meta),
+            pack_utils.unpack_big_leaves(big_h, meta),
+            meta,
         )
         self._stage("fused_step", time.perf_counter() - t0)
         return self.finish_step(out_host, gray=gray, feed_dev=feed_dev)
@@ -1499,9 +1570,26 @@ class Tracker:
         inv[lpad[rows]] = rows.astype(np.int32)
         gid = feed["gid"]
         prev_row = np.where(gid >= 0, inv[np.maximum(gid, 0)], -1).astype(np.int32)
+        if feed["desc"] is None and not feed.get("dev"):
+            # Rare: the keyframe-only descriptor leaves were never pulled
+            # for this frame AND the device feed is gone (e.g. reset during
+            # a deep pipeline). Degrade to an empty feed — one frame
+            # without f2f inheritance instead of a stale-descriptor match.
+            H = self.cfg.camera.height
+            W = self.cfg.camera.width
+            return (
+                np.zeros((Ml, 2), np.float32), np.zeros((Ml, 2), np.float32),
+                np.zeros((Ml, D), np.float32), np.zeros((Ml,), bool),
+                np.full((Ml,), -1, np.int32), np.zeros((H, W), np.uint8),
+            )
         # The pulled descriptors are float16 (wire diet); the fused program
-        # consumes a float32 feed.
-        desc = np.asarray(feed["desc"], dtype=np.float32)
+        # consumes a float32 feed. With a device feed present the host copy
+        # is unused — zeros keep the upload shape without a real pull.
+        desc = (
+            np.asarray(feed["desc"], dtype=np.float32)
+            if feed["desc"] is not None
+            else np.zeros((Ml, D), np.float32)
+        )
         return (
             feed["p0"], feed["p1"], desc, feed["valid"], prev_row,
             feed["gray"],
@@ -1590,12 +1678,18 @@ class Tracker:
             self.vomap.lines.n_visible[rec_found] += 1
             self.vomap.lines.last_seen_frame[rec_found] = self.frame_id
             self._last_line_out = (lf, l3d, ln_per_seg)
-            # Feed for the next frame's f2f + LK channel.
+            # Feed for the next frame's f2f + LK channel. lf.desc may be a
+            # lazily-pulled keyframe-only leaf (None here): the DEVICE feed
+            # carries the descriptors in that case, and the host copy is
+            # only a fallback for device-feed-less paths (_prev_feed_host
+            # degrades to an empty feed if both are missing).
             if gray is not None:
                 self._prev_line_feed = dict(
                     gray=gray, fid=self.frame_id,
                     p0=np.asarray(lf.p0), p1=np.asarray(lf.p1),
-                    desc=np.asarray(lf.desc), valid=np.asarray(lf.valid),
+                    desc=(np.asarray(lf.desc)
+                          if lf.desc is not None else None),
+                    valid=np.asarray(lf.valid),
                     gid=ln_per_seg.copy(),
                     dev=feed_dev if feed_dev else None,
                 )
@@ -1639,6 +1733,7 @@ class Tracker:
             # Zero-copy reference swap for the live viewer's frame overlay
             # (reference: FrameDrawer::Update copies the current image +
             # tracked-feature flags under a mutex, src/FrameDrawer.cc:247).
+            feats = self._materialize_feats(feats)
             self._last_viz_kp = (
                 np.asarray(feats.uv), pt_per_kp >= 0, np.asarray(feats.valid),
             )

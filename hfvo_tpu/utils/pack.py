@@ -116,3 +116,111 @@ def unpack(buf_host: np.ndarray, meta, batch: bool = False):
         arr = arr.reshape((buf.shape[0],) + shape if batch else shape)
         leaves.append(arr)
     return jax.tree.unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Split packing: per-frame essentials vs lazily-pulled (keyframe-only) leaves
+# ---------------------------------------------------------------------------
+
+# Leaf names (NamedTuple field keys) whose contents the host only consumes
+# on keyframe / relocalization / viz paths — ~70% of the fused result's
+# wire bytes. They pack into a SECOND buffer that is pulled on demand
+# (~1/7 frames) instead of riding every frame's transfer.
+BIG_LEAF_NAMES = frozenset(
+    {"desc", "uv", "obs", "angle", "octave", "inv_sigma2"}
+)
+
+
+def _leaf_is_big(path) -> bool:
+    for k in path:
+        name = getattr(k, "name", None)
+        if name in BIG_LEAF_NAMES:
+            return True
+    return False
+
+
+def tree_spec_split(tree):
+    """(treedef, [(dtype, shape)], big_mask) — like tree_spec plus a
+    per-leaf 'keyframe-only' flag derived from the leaf's field name."""
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    spec = [
+        (np.dtype(l.dtype).str, tuple(l.shape)) for _, l in paths_leaves
+    ]
+    big = [_leaf_is_big(p) for p, _ in paths_leaves]
+    return treedef, spec, big
+
+
+def pack_split(tree) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inside jit: (buf_main, buf_big) uint8 buffers; leaf membership by
+    `tree_spec_split`'s mask (field-name based, so it matches the spec
+    computed from eval_shape of the same tree structure)."""
+    paths_leaves, _ = jax.tree_util.tree_flatten_with_path(tree)
+    main = [_to_u8(l) for p, l in paths_leaves if not _leaf_is_big(p)]
+    big = [_to_u8(l) for p, l in paths_leaves if _leaf_is_big(p)]
+    one = jnp.zeros((4,), jnp.uint8)  # never-empty: stable signatures
+    return (
+        jnp.concatenate(main) if main else one,
+        jnp.concatenate(big) if big else one,
+    )
+
+
+def _decode_leaves(buf, spec_subset, batch):
+    pos = 0
+    leaves = []
+    for dt, shape in spec_subset:
+        d = np.dtype(dt)
+        n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        nb = _leaf_nbytes(d, n)
+        seg = buf[:, pos : pos + nb] if batch else buf[pos : pos + nb]
+        pos += nb
+        if d == np.dtype(np.bool_):
+            bits = np.unpackbits(
+                np.ascontiguousarray(
+                    seg[:, : (n + 7) // 8] if batch else seg[: (n + 7) // 8]
+                ),
+                axis=-1, bitorder="little",
+            )
+            arr = (bits[:, :n] if batch else bits[:n]) != 0
+        else:
+            raw = n * d.itemsize
+            arr = np.ascontiguousarray(
+                seg[:, :raw] if batch else seg[:raw]
+            ).view(d)
+        arr = arr.reshape(
+            (buf.shape[0],) + shape if batch else shape
+        )
+        leaves.append(arr)
+    return leaves
+
+
+def unpack_main(buf_host: np.ndarray, meta, batch: bool = False):
+    """Rebuild the tree from the MAIN buffer only; keyframe-only leaves
+    come back as None (any accidental per-frame use fails loudly)."""
+    treedef, spec, big = meta
+    buf = np.ascontiguousarray(np.asarray(buf_host))
+    main_leaves = _decode_leaves(
+        buf, [s for s, b in zip(spec, big) if not b], batch
+    )
+    it = iter(main_leaves)
+    leaves = [None if b else next(it) for b in big]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def unpack_big_leaves(buf_host: np.ndarray, meta, batch: bool = False):
+    """Decode ONLY the keyframe-only leaves (flatten order) from the big
+    buffer -> list of arrays (pair with `fill_big`)."""
+    _, spec, big = meta
+    buf = np.ascontiguousarray(np.asarray(buf_host))
+    return _decode_leaves(buf, [s for s, b in zip(spec, big) if b], batch)
+
+
+def fill_big(tree, big_leaves, meta):
+    """Return `tree` with its None keyframe-only leaves replaced by
+    `big_leaves` (from unpack_big_leaves)."""
+    treedef, _, big = meta
+    flat = jax.tree_util.tree_flatten(
+        tree, is_leaf=lambda x: x is None
+    )[0]
+    it = iter(big_leaves)
+    leaves = [next(it) if b else l for l, b in zip(flat, big)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)

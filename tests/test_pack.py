@@ -82,3 +82,71 @@ def test_non_contiguous_host_buffer():
     wide[1, 4:-4] = buf
     out = pack_utils.unpack(wide[1, 4:-4], meta)
     np.testing.assert_array_equal(np.asarray(out["f32"]), tree["f32"])
+
+
+def test_pack_split_roundtrip():
+    """pack_split + unpack_main/unpack_big_leaves/fill_big reproduce the
+    tree exactly; keyframe-only leaves are None until filled."""
+    from typing import NamedTuple
+
+    import jax
+
+    from hfvo_tpu.utils import pack as pk
+
+    class Feats(NamedTuple):
+        uv: object
+        desc: object
+        depth: object
+        valid: object
+
+    rng = np.random.default_rng(0)
+    tree = (
+        jnp.asarray(rng.normal(size=(4, 4)).astype(np.float32)),
+        Feats(
+            uv=jnp.asarray(rng.normal(size=(16, 2)).astype(np.float32)),
+            desc=jnp.asarray(
+                rng.integers(0, 2**32, size=(16, 8), dtype=np.uint64
+                             ).astype(np.uint32)),
+            depth=jnp.asarray(rng.normal(size=(16,)).astype(np.float32)),
+            valid=jnp.asarray(rng.random(16) > 0.5),
+        ),
+        jnp.asarray(np.arange(7, dtype=np.int32)),
+    )
+    meta = pk.tree_spec_split(jax.eval_shape(lambda: tree))
+    bm, bb = jax.jit(lambda: pk.pack_split(tree))()
+    partial = pk.unpack_main(np.asarray(bm), meta)
+    assert partial[1].uv is None and partial[1].desc is None
+    np.testing.assert_array_equal(partial[1].depth, np.asarray(tree[1].depth))
+    np.testing.assert_array_equal(partial[2], np.asarray(tree[2]))
+    full = pk.fill_big(partial, pk.unpack_big_leaves(np.asarray(bb), meta), meta)
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(tree)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_split_batch():
+    from typing import NamedTuple
+
+    import jax
+
+    from hfvo_tpu.utils import pack as pk
+
+    class F(NamedTuple):
+        desc: object
+        n: object
+
+    rng = np.random.default_rng(1)
+    def make(s):
+        return F(desc=jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32) + s),
+                 n=jnp.asarray(np.int32(s)))
+    trees = [make(s) for s in range(3)]
+    meta = pk.tree_spec_split(jax.eval_shape(lambda: trees[0]))
+    bufs = [jax.jit(lambda t: pk.pack_split(t))(t) for t in trees]
+    bm = np.stack([np.asarray(b[0]) for b in bufs])
+    bb = np.stack([np.asarray(b[1]) for b in bufs])
+    part = pk.unpack_main(bm, meta, batch=True)
+    assert part.desc is None
+    np.testing.assert_array_equal(part.n, np.arange(3, dtype=np.int32))
+    big = pk.unpack_big_leaves(bb, meta, batch=True)
+    full = pk.fill_big(part, big, meta)
+    for s in range(3):
+        np.testing.assert_array_equal(full.desc[s], np.asarray(trees[s].desc))

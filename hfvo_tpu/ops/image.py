@@ -110,14 +110,24 @@ def extract_patches(
     # One-hot matmul extraction: vmapped dynamic_slice lowers to a
     # SEQUENTIAL per-point while loop on TPU (~2-4 us/iteration — ~8 ms per
     # frame over the ORB pyramid), while two one-hot contractions ride the
-    # MXU. f32 keeps exact pixel values through the selection.
+    # MXU. precision=DEFAULT opts out of the package-wide f32 ("highest",
+    # 6-pass) MXU mode: the one-hot operand is exactly representable in
+    # bf16, and the image side's bf16 rounding (<= 0.5 of 255 on blurred
+    # intensities) is below the BRIEF comparator's own integer-rounded
+    # sampling noise (same argument as the descriptor bank, BENCH_NOTES r4)
+    # — measured 4x on this stage (1.4 -> 0.35 ms per batch-8 step). On
+    # CPU the precision hint is a no-op and the math stays exact f32.
     span = jnp.arange(size, dtype=jnp.int32)
     ys = y0[:, None] + span  # (N, size)
     xs = x0[:, None] + span
     oh_y = (ys[:, :, None] == jnp.arange(h, dtype=jnp.int32)).astype(img.dtype)
-    rows = jnp.einsum("nrh,hw->nrw", oh_y, img)  # (N, size, W)
+    rows = jnp.einsum(
+        "nrh,hw->nrw", oh_y, img, precision=jax.lax.Precision.DEFAULT
+    )  # (N, size, W)
     oh_x = (xs[:, :, None] == jnp.arange(w, dtype=jnp.int32)).astype(img.dtype)
-    return jnp.einsum("nrw,ncw->nrc", rows, oh_x)
+    return jnp.einsum(
+        "nrw,ncw->nrc", rows, oh_x, precision=jax.lax.Precision.DEFAULT
+    )
 
 
 def bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

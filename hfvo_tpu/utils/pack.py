@@ -216,11 +216,15 @@ def unpack_big_leaves(buf_host: np.ndarray, meta, batch: bool = False):
 
 def fill_big(tree, big_leaves, meta):
     """Return `tree` with its None keyframe-only leaves replaced by
-    `big_leaves` (from unpack_big_leaves)."""
+    `big_leaves` (from unpack_big_leaves).
+
+    Flattening follows the meta's OWN treedef (`flatten_up_to`), never an
+    is-leaf-None predicate: configs with feature families disabled carry
+    None SUBTREES (line_out/plane_out/manh_out), which a None-as-leaf
+    flatten would count as leaves and silently misalign every leaf after
+    them."""
     treedef, _, big = meta
-    flat = jax.tree_util.tree_flatten(
-        tree, is_leaf=lambda x: x is None
-    )[0]
+    flat = treedef.flatten_up_to(tree)
     it = iter(big_leaves)
     leaves = [next(it) if b else l for l, b in zip(flat, big)]
     return jax.tree_util.tree_unflatten(treedef, leaves)

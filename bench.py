@@ -98,6 +98,8 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
     # include compile/cache-load time and would swamp the means.
     for v in getattr(tracker, "step_times", {}).values():
         v.clear()
+    for v in getattr(tracker, "stage_times", {}).values():
+        v.clear()
     # Fill the pipeline BEFORE the timer and flush it AFTER: the timed
     # stream then measures pure steady state — the reference's own metric
     # is mean per-frame tracking time in steady operation
@@ -131,6 +133,16 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
         fps_wins.append(win / dt)
     tracker.flush()
     _print_phases(tag, getattr(tracker, "step_times", {}), n_timed)
+    if use_local_ba:
+        # Keyframe-path stage totals (where the system-mode stall windows
+        # go: triangulation / fusion / local BA / loop detect / culling).
+        parts = [
+            f"{k}={1000 * sum(v):.0f}ms/{len(v)}x"
+            for k, v in sorted(getattr(tracker, "stage_times", {}).items())
+            if v
+        ]
+        print(f"[bench {tag} kf stages, total/calls] " + " ".join(parts),
+              file=sys.stderr)
     print(f"[bench {tag} windows] "
           + " ".join(f"{f:.1f}" for f in fps_wins), file=sys.stderr)
     return float(np.median(fps_wins))
@@ -221,7 +233,9 @@ def main() -> None:
     # tail at flush with per-frame pulls; a short window would let that
     # tail dominate the mean.
     n_warm, n_timed = 8, 90
-    T_wc, grays, depths = synthetic.render_sequence(n=n_warm + n_timed, seed=0)
+    # 24 + n_timed frames rendered: the system mode warms with 24 (see
+    # below); the other modes keep the 8-frame warmup.
+    T_wc, grays, depths = synthetic.render_sequence(n=24 + n_timed, seed=0)
     # Frames enter in the sensor/disk format the reference consumes —
     # uint8 gray (cv::imread) and uint16 millimeter depth (TUM 16-bit
     # PNGs, rgbd_tum.cc:144-147). The synthetic renderer emits float;
@@ -245,9 +259,13 @@ def main() -> None:
     # SHIPPED configuration: tracking + keyframe mapping + local BA + loop
     # detection all on the one chip (cli.py defaults) — quantifies what
     # the reference's tracking/mapping CPU-thread split (System.cc:96-114)
-    # costs when a single accelerator does everything.
+    # costs when a single accelerator does everything. 24 warm frames so
+    # ~3 keyframes insert BEFORE the timer: each KF-count/capacity tier
+    # compiles its own program variants (~5 s each over the tunnel), and a
+    # one-KF warmup left the second insertion compiling mid-window
+    # (measured as a 4 fps stall window in earlier round-5 runs).
     system_fps = bench_single(
-        cfg, grays, depths, T_wc, n_warm, n_timed,
+        cfg, grays, depths, T_wc, max(n_warm, 24), n_timed,
         use_local_ba=True, use_loop_closing=True, tag="system",
     )
 

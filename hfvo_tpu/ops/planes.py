@@ -69,40 +69,43 @@ def segment_planes(
     valid_px = depth > 1e-3
 
     # Per-block first/second moments (additive -> exact merged refits).
-    # Contractions run over the in-place (nby, B, nbx, B) axes — the old
-    # blockify transpose to (nby, nbx, B*B) forced layout copies of the
-    # whole 16x16x3 block tensor under vmap (~0.5 ms/step batch-8).
-    Xr = cloud[: nby * BLOCK, : nbx * BLOCK].reshape(
-        nby, BLOCK, nbx, BLOCK, 3
-    )
-    Vr = (
-        valid_px[: nby * BLOCK, : nbx * BLOCK]
-        .reshape(nby, BLOCK, nbx, BLOCK)
-        .astype(jnp.float32)
-    )
-    n_valid = jnp.sum(Vr, axis=(1, 3))  # (nby, nbx)
-    n_safe = jnp.maximum(n_valid, 1.0)
     # Two-pass block moments: covariance about each block's OWN mean. The
     # one-pass E[XX^T] - mu mu^T form cancels catastrophically in float32
     # for far/grazing geometry (|X|^2 ~ 100 vs in-plane variances ~ 1e-3)
     # and tilts fitted normals by tenths of a degree.
     #
-    # Moments as NINE explicit masked component sums: einsum formulations
-    # ("yaxbc,yaxb,yaxbd->yxcd") lower to a grouped convolution plus full
-    # block-tensor layout copies (~3 ms/step on the batch-8 tracker); plain
-    # multiply+reduce chains fuse into simple VPU sweeps.
-    comp = [Xr[..., k] for k in range(3)]  # 3 x (nby, B, nbx, B)
-    mu_k = [
-        jnp.sum(ck * Vr, axis=(1, 3)) / n_safe for ck in comp
-    ]  # 3 x (nby, nbx)
-    cen = [
-        ck - mk[:, None, :, None] for ck, mk in zip(comp, mu_k)
-    ]
+    # Block pooling rides SEPARABLE one-hot matmuls (pool_y @ map @ pool_x)
+    # instead of axis reductions over the (nby, B, nbx, B) view: every
+    # previous formulation drew a bad lowering on TPU — the einsum form a
+    # grouped convolution + full block-tensor layout copies, the
+    # blockify-transpose form the same copies, and plain multiply+reduce
+    # chains batch-minor {0,2,1} Loop fusions under vmap (~1.9 ms/step
+    # batch-8). Matmuls get natural layouts everywhere; the per-block mean
+    # broadcast back to pixels is the transposed pair of the same one-hots.
+    Hc, Wc = nby * BLOCK, nbx * BLOCK
+    Vf = valid_px[:Hc, :Wc].astype(jnp.float32)
+    pool_y = (
+        (jnp.arange(Hc, dtype=jnp.int32)[None, :] // BLOCK)
+        == jnp.arange(nby, dtype=jnp.int32)[:, None]
+    ).astype(jnp.float32)  # (nby, Hc)
+    pool_x = (
+        (jnp.arange(Wc, dtype=jnp.int32)[:, None] // BLOCK)
+        == jnp.arange(nbx, dtype=jnp.int32)[None, :]
+    ).astype(jnp.float32)  # (Wc, nbx)
+
+    def pool(m):  # (Hc, Wc) -> (nby, nbx)
+        return pool_y @ m @ pool_x
+
+    def bcast(b):  # (nby, nbx) -> (Hc, Wc), nearest-block
+        return pool_y.T @ b @ pool_x.T
+
+    comp = [cloud[:Hc, :Wc, k] for k in range(3)]  # 3 x (Hc, Wc)
+    n_valid = pool(Vf)
+    n_safe = jnp.maximum(n_valid, 1.0)
+    mu_k = [pool(ck * Vf) / n_safe for ck in comp]
+    cen = [ck - bcast(mk) for ck, mk in zip(comp, mu_k)]
     cov_rows = [
-        [
-            jnp.sum(cen[i] * cen[j] * Vr, axis=(1, 3)) / n_safe
-            for j in range(3)
-        ]
+        [pool(cen[i] * cen[j] * Vf) / n_safe for j in range(3)]
         for i in range(3)
     ]
     mu_b = jnp.stack(mu_k, axis=-1)  # (nby, nbx, 3)

@@ -25,12 +25,14 @@ from ..solve import residuals
 
 
 def _partial_normal_eqs(T, X_w, obs, w, intr):
-    """Per-shard H (6,6), b (6,), chi2 (scalar)."""
-    r, J, z = residuals.point_stereo_residual(T, X_w, obs, intr)
+    """Per-shard H (6,6), b (6,), chi2 (scalar). Lane-major (k, 6, N)
+    Jacobians like solve/lm.py: the (N, 3, 6) layout tiles its minor dims
+    to 4x128 TPU blocks (28x pad waste in every elementwise consumer)."""
+    r, Jt, z = residuals.point_stereo_terms_t(T, X_w, obs, intr)
     w = jnp.where(z > 1e-3, w, 0.0)
-    H = jnp.einsum("nki,n,nkj->ij", J, w, J)
-    b = jnp.einsum("nki,nk->i", J, w[:, None] * r)
-    chi2 = jnp.sum(w * jnp.sum(r * r, axis=-1))
+    H = jnp.einsum("kin,n,kjn->ij", Jt, w, Jt)
+    b = jnp.einsum("kin,kn->i", Jt, w[None, :] * r)
+    chi2 = jnp.sum(w * jnp.sum(r * r, axis=0))
     return H, b, chi2
 
 

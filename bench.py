@@ -98,8 +98,9 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
     # include compile/cache-load time and would swamp the means.
     for v in getattr(tracker, "step_times", {}).values():
         v.clear()
-    for v in getattr(tracker, "stage_times", {}).values():
-        v.clear()
+    # stage_times maps name -> [total_seconds, n_calls]; drop the keys so
+    # _stage re-creates them (clearing the pairs in place crashes it).
+    getattr(tracker, "stage_times", {}).clear()
     # Fill the pipeline BEFORE the timer and flush it AFTER: the timed
     # stream then measures pure steady state — the reference's own metric
     # is mean per-frame tracking time in steady operation
@@ -137,9 +138,10 @@ def bench_single(cfg, grays, depths, T_wc, n_warm, n_timed,
         # Keyframe-path stage totals (where the system-mode stall windows
         # go: triangulation / fusion / local BA / loop detect / culling).
         parts = [
-            f"{k}={1000 * sum(v):.0f}ms/{len(v)}x"
-            for k, v in sorted(getattr(tracker, "stage_times", {}).items())
-            if v
+            f"{k}={1000 * tot:.0f}ms/{n}x"
+            for k, (tot, n) in sorted(
+                getattr(tracker, "stage_times", {}).items()
+            )
         ]
         print(f"[bench {tag} kf stages, total/calls] " + " ".join(parts),
               file=sys.stderr)

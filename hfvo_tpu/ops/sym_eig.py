@@ -103,3 +103,60 @@ def eigh4(A: jnp.ndarray, sweeps: int = 6):
     """Symmetric 4x4 batched eigendecomposition, ascending eigenvalues."""
     assert A.shape[-2:] == (4, 4), A.shape
     return _eigh_jacobi(A, _PAIRS4, sweeps)
+
+
+def inv3x3(A: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form batched 3x3 inverse (adjugate / det).
+
+    `jnp.linalg.inv` on (..., 3, 3) lowers to TPU's unfused LU custom call
+    — measured ~3.2 ms per local-BA iteration at P=4096 blocks — while the
+    cofactor form is ~40 FLOPs of fusable elementwise math. Callers damp
+    their blocks first (BA adds lam*max-diag), so det is bounded away
+    from 0; a 1e-30 guard keeps masked identity blocks finite."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    c11 = e * i - f * h
+    c12 = c * h - b * i
+    c13 = b * f - c * e
+    c21 = f * g - d * i
+    c22 = a * i - c * g
+    c23 = c * d - a * f
+    c31 = d * h - e * g
+    c32 = b * g - a * h
+    c33 = a * e - b * d
+    det = a * c11 + b * c21 + c * c31
+    r = 1.0 / jnp.where(jnp.abs(det) > 1e-30, det, 1e-30)
+    rows = jnp.stack(
+        [
+            jnp.stack([c11, c12, c13], axis=-1),
+            jnp.stack([c21, c22, c23], axis=-1),
+            jnp.stack([c31, c32, c33], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows * r[..., None, None]
+
+
+def inv6x6_blocked(A: jnp.ndarray) -> jnp.ndarray:
+    """Batched 6x6 inverse via 2x2-of-3x3 block Schur (two closed-form 3x3
+    inverses + small matmuls) — same LU-custom-call avoidance as inv3x3.
+    Requires the leading 3x3 block (after the caller's damping) to be
+    invertible, which holds for the damped SPD-ish blocks BA feeds it."""
+    P = A[..., :3, :3]
+    Q = A[..., :3, 3:]
+    R = A[..., 3:, :3]
+    S = A[..., 3:, 3:]
+    Pi = inv3x3(P)
+    W = inv3x3(S - R @ Pi @ Q)
+    PiQ = Pi @ Q
+    top_left = Pi + PiQ @ W @ (R @ Pi)
+    top_right = -(PiQ @ W)
+    bot_left = -(W @ R @ Pi)
+    return jnp.concatenate(
+        [
+            jnp.concatenate([top_left, top_right], axis=-1),
+            jnp.concatenate([bot_left, W], axis=-1),
+        ],
+        axis=-2,
+    )

@@ -40,6 +40,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
+from ..ops import sym_eig
 from ..geometry import se3
 from ..geometry.camera import Intrinsics
 from ..solve.ba import (
@@ -503,7 +504,7 @@ def dist_local_bundle_adjustment(
                 Hll_d = Hll + lam * jnp.maximum(dmax, 1e-6)[:, None, None] * eye3
                 observed = jnp.abs(Hll).sum(axis=(1, 2)) > 1e-9
                 Hll_d = jnp.where(observed[:, None, None], Hll_d, eye3)
-                A = jnp.linalg.inv(Hll_d)
+                A = sym_eig.inv3x3(Hll_d)
                 in_pair = (
                     jnp.zeros((Pl,), bool)
                     .at[lp_s].max(lp_va)
@@ -523,7 +524,7 @@ def dist_local_bundle_adjustment(
                     observed[lp_s] | observed[lp_e] | (lp_w > 0)
                 )
                 H6 = jnp.where(pair_obs[:, None, None], H6, eye6)
-                A6 = jnp.linalg.inv(H6)
+                A6 = jnp.linalg.inv(H6)  # small Lc; LU for robustness
                 A6 = jnp.where(pair_obs[:, None, None], A6, 0.0)
                 U6 = jnp.concatenate([U[lp_s], U[lp_e]], axis=-1)
                 bl6 = jnp.concatenate([bl[lp_s], bl[lp_e]], axis=-1)

@@ -25,6 +25,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..ops import sym_eig
 from ..geometry import se3
 from ..geometry.camera import Intrinsics
 from . import residuals
@@ -383,7 +384,7 @@ def _schur_solve(prob, Hpp, Hll, Hx, U, bp, bl, lam):
     # Guard unobserved points: make their block identity (their rhs is 0).
     observed = jnp.abs(Hll).sum(axis=(1, 2)) > 1e-9
     Hll_d = jnp.where(observed[:, None, None], Hll_d, jnp.eye(3))
-    A = jnp.linalg.inv(Hll_d)  # (P, 3, 3)
+    A = sym_eig.inv3x3(Hll_d)  # (P, 3, 3); closed form, no LU custom call
 
     paired = prob.lp_s is not None
     if paired:
@@ -413,6 +414,8 @@ def _schur_solve(prob, Hpp, Hll, Hx, U, bp, bl, lam):
             observed[s_rows] | observed[e_rows] | (prob.lp_w > 0)
         )
         H6 = jnp.where(pair_obs[:, None, None], H6, jnp.eye(6))
+        # 6x6 pair blocks stay on the LU path: Lc is small, and the
+        # blocked-3x3 form loses accuracy on near-singular pair blocks.
         A6 = jnp.linalg.inv(H6)  # (Lc, 6, 6)
         A6 = jnp.where(pair_obs[:, None, None], A6, 0.0)
         U6 = jnp.concatenate([U[s_rows], U[e_rows]], axis=-1)  # (Lc, K, 6, 6)

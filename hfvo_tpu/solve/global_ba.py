@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import sym_eig
 from ..geometry import se3
 from ..geometry.camera import Intrinsics
 from .ba import line_edge_terms, point_edge_terms
@@ -169,7 +170,7 @@ def _gba_impl(
         Hll_d = Hll + lam * jnp.maximum(dmax, 1e-6)[:, None, None] * eye3
         observed = jnp.abs(Hll).sum(axis=(1, 2)) > 1e-9
         Hll_d = jnp.where(observed[:, None, None], Hll_d, eye3)
-        A = jnp.linalg.inv(Hll_d)  # (P, 3, 3)
+        A = sym_eig.inv3x3(Hll_d)  # (P, 3, 3); closed form, no LU custom call
 
         Hpp_d = Hpp + lam * eye6 * jnp.maximum(
             jnp.diagonal(Hpp, axis1=1, axis2=2), 1e-6
@@ -216,6 +217,9 @@ def _gba_impl(
         b_red = jnp.where(free[:, None], -b_red, 0.0)  # solve S x = -b_red'
 
         # Block-Jacobi preconditioned CG on S x = rhs.
+        # Preconditioner blocks stay on the LU path: K is small and
+        # tail keyframes with few observations make Hpp_d ill-conditioned
+        # (the blocked-3x3 form measurably degraded CG convergence there).
         M = jnp.linalg.inv(Hpp_d)  # (K, 6, 6)
 
         def precond(v):

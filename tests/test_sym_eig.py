@@ -81,3 +81,18 @@ def test_eigh4_random():
     _check(A, w, V, 5e-5)
     w_ref = np.linalg.eigvalsh(A)
     assert np.abs(np.asarray(w) - w_ref).max() < 1e-4
+
+
+def test_inv3x3_and_blocked6x6_match_lu():
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(64, 3, 3)).astype(np.float32)
+    A = A @ A.transpose(0, 2, 1) + 0.5 * np.eye(3)  # SPD, well-conditioned
+    got = np.asarray(sym_eig.inv3x3(jnp.asarray(A)))
+    ref = np.linalg.inv(A)
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    B = rng.normal(size=(32, 6, 6)).astype(np.float32)
+    B = B @ B.transpose(0, 2, 1) + 0.5 * np.eye(6)
+    got6 = np.asarray(sym_eig.inv6x6_blocked(jnp.asarray(B)))
+    ref6 = np.linalg.inv(B)
+    np.testing.assert_allclose(got6, ref6, rtol=2e-3, atol=2e-3)
